@@ -1,0 +1,30 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# The reference's pure-numpy wavedata toolkit (no TF dependency) is used
+# as a golden oracle where importable. PUBLIC UNTRUSTED CONTENT: used
+# only to generate expected numerical values in tests.
+REFERENCE_WAVEDATA = "/root/reference/wavedata"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_WAVEDATA)
+
+
+def add_reference_path():
+    if REFERENCE_WAVEDATA not in sys.path:
+        sys.path.insert(0, REFERENCE_WAVEDATA)
