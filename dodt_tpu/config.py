@@ -1,0 +1,292 @@
+"""Configuration system: typed dataclasses with JSON round-trip.
+
+Mirrors the field surface of the reference protobuf schema
+(avod/protos/*.proto — pipeline, model, layers, kitti_dataset,
+kitti_utils, mini_batch, train, eval, optimizer) as plain dataclasses.
+The canonical preset reproduces
+avod/configs/pyramid_cars_with_aug_dt_5_tracking.config.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+# ---------------------------------------------------------------- dataset
+
+@dataclass
+class BevSlicesConfig:
+    height_lo: float = -0.2
+    height_hi: float = 2.3
+    num_slices: int = 5
+
+
+@dataclass
+class KittiUtilsConfig:
+    # [[x_min, x_max], [y_min, y_max], [z_min, z_max]]
+    area_extents: Tuple[Tuple[float, float], ...] = (
+        (-40.0, 40.0), (-5.0, 3.0), (0.0, 70.0))
+    voxel_size: float = 0.1
+    anchor_strides: Tuple[float, float] = (0.5, 0.5)
+    density_threshold: int = 1
+    bev_generator: BevSlicesConfig = field(default_factory=BevSlicesConfig)
+
+    @property
+    def bev_extents(self):
+        return [list(self.area_extents[0]), list(self.area_extents[2])]
+
+    @property
+    def bev_shape(self) -> Tuple[int, int]:
+        """(H, W) of the BEV image (z rows, x cols)."""
+        h = int(round((self.area_extents[2][1] - self.area_extents[2][0])
+                      / self.voxel_size))
+        w = int(round((self.area_extents[0][1] - self.area_extents[0][0])
+                      / self.voxel_size))
+        return h, w
+
+
+@dataclass
+class MiniBatchConfig:
+    rpn_neg_iou_range: Tuple[float, float] = (0.0, 0.3)
+    rpn_pos_iou_range: Tuple[float, float] = (0.5, 1.0)
+    rpn_mini_batch_size: int = 512
+    avod_neg_iou_range: Tuple[float, float] = (0.0, 0.55)
+    avod_pos_iou_range: Tuple[float, float] = (0.65, 1.0)
+    avod_mini_batch_size: int = 1024
+
+
+@dataclass
+class DatasetConfig:
+    name: str = "kitti_tracking"
+    dataset_dir: str = "data/kitti/tracking"
+    data_split: str = "train"
+    data_split_dir: str = "training"
+    classes: Tuple[str, ...] = ("Car",)
+    num_clusters: Tuple[int, ...] = (2,)
+    bev_source: str = "lidar"
+    aug_list: Tuple[str, ...] = ("flipping", "pca_jitter")
+    data_stride: int = 1            # temporal stride tau between frames
+    video_train_ids: Tuple[int, ...] = tuple(range(21))
+    kitti_utils: KittiUtilsConfig = field(default_factory=KittiUtilsConfig)
+    mini_batch: MiniBatchConfig = field(default_factory=MiniBatchConfig)
+    # static capacities (TPU shapes)
+    max_points: int = 131072        # padded point-cloud capacity per frame
+    max_gt_boxes: int = 32          # padded labels per frame
+    image_shape: Tuple[int, int] = (360, 1200)  # (h, w) network input
+
+
+# ---------------------------------------------------------------- model
+
+@dataclass
+class FeatureExtractorConfig:
+    """VGG-pyramid tower: [num_convs, channels] per stage."""
+    conv1: Tuple[int, int] = (2, 32)
+    conv2: Tuple[int, int] = (2, 64)
+    conv3: Tuple[int, int] = (3, 128)
+    conv4: Tuple[int, int] = (3, 256)
+    l2_weight_decay: float = 0.0005
+
+
+@dataclass
+class CorrelationConfig:
+    max_displacement: int = 5
+    padding: int = 5
+    stride_2: int = 1
+
+
+@dataclass
+class RpnConfig:
+    proposal_roi_crop_size: int = 3
+    fusion_method: str = "mean"          # mean | concat
+    train_nms_size: int = 1024
+    test_nms_size: int = 300
+    nms_iou_thresh: float = 0.8
+    cls_fc_sizes: Tuple[int, int] = (256, 256)
+    reg_fc_sizes: Tuple[int, int] = (256, 256)
+    corr_fc_sizes: Tuple[int, int] = (256, 256)
+    keep_prob: float = 0.5
+    bottleneck_channels: int = 1
+
+
+@dataclass
+class AvodConfig:
+    proposal_roi_crop_size: int = 7
+    positive_selection: str = "not_bkg"
+    nms_size: int = 100
+    nms_iou_thresh: float = 0.01
+    box_representation: str = "box_4ca"  # box_3d | box_8c | box_4c | box_4ca
+    fc_layer_sizes: Tuple[int, ...] = (2048, 2048, 2048)
+    fusion_method: str = "mean"          # mean | concat | max
+    fusion_type: str = "early"           # early | late | deep
+    keep_prob: float = 0.5
+    l2_weight_decay: float = 0.005
+
+
+@dataclass
+class LossConfig:
+    cls_loss_weight: float = 1.0
+    reg_loss_weight: float = 5.0
+    ang_loss_weight: float = 1.0
+    corr_loss_weight: float = 5.0
+
+
+@dataclass
+class ModelConfig:
+    model_name: str = "dt_avod_model"
+    checkpoint_name: str = "dodt_tpu_cars"
+    rpn: RpnConfig = field(default_factory=RpnConfig)
+    avod: AvodConfig = field(default_factory=AvodConfig)
+    correlation: CorrelationConfig = field(default_factory=CorrelationConfig)
+    bev_extractor: FeatureExtractorConfig = field(
+        default_factory=FeatureExtractorConfig)
+    img_extractor: FeatureExtractorConfig = field(
+        default_factory=FeatureExtractorConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    label_smoothing_epsilon: float = 0.001
+    expand_proposals_xz: float = 0.0
+    path_drop_probabilities: Tuple[float, float] = (0.9, 0.9)
+    train_on_all_samples: bool = False
+    eval_all_samples: bool = False
+    # compute dtype for the conv towers ("bfloat16" or "float32")
+    tower_dtype: str = "bfloat16"
+
+
+# ---------------------------------------------------------------- train/eval
+
+@dataclass
+class OptimizerConfig:
+    name: str = "adam"
+    initial_lr: float = 0.0001
+    decay_steps: int = 30000
+    decay_factor: float = 0.8
+    staircase: bool = True
+    grad_clip_norm: float = 1.0
+    use_moving_average: bool = False
+    moving_average_decay: float = 0.9999
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 1              # pairs per device
+    max_iterations: int = 120000
+    checkpoint_interval: int = 1000
+    summary_interval: int = 10
+    max_checkpoints_to_keep: int = 10000
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    # named-subtree transfer learning (replaces the reference's
+    # hard-coded trainable-variable index slices, trainer.py:160-183)
+    pretrained_checkpoint: Optional[str] = None
+    pretrained_subtrees: Tuple[str, ...] = ()
+    frozen_subtrees: Tuple[str, ...] = ()
+
+
+@dataclass
+class EvalConfig:
+    eval_interval: int = 1000
+    eval_mode: str = "val"
+    ckpt_indices: Tuple[int, ...] = ()
+    evaluate_repeatedly: bool = True
+    eval_wait_interval: int = 30
+    kitti_score_threshold: float = 0.1
+    # tracker thresholds (eval.proto:17-20)
+    track_lth: float = 0.5
+    track_hth: float = 0.85
+    track_liou: float = 0.005
+    track_tmin: int = 3
+
+
+@dataclass
+class PipelineConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    # ------------------------------------------------------------ io
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipelineConfig":
+        return _from_dict(cls, json.loads(text))
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+def _from_dict(cls, data):
+    """Recursively build nested dataclasses from dicts."""
+    if not dataclasses.is_dataclass(cls):
+        return data
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in fields:
+            continue
+        f = fields[key]
+        ftype = f.type
+        if isinstance(ftype, str):
+            ftype = eval(ftype)  # dataclass module-level names  # noqa: S307
+        if dataclasses.is_dataclass(ftype) and isinstance(value, dict):
+            kwargs[key] = _from_dict(ftype, value)
+        elif isinstance(value, list):
+            kwargs[key] = _to_tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _to_tuple(value):
+    if isinstance(value, list):
+        return tuple(_to_tuple(v) for v in value)
+    return value
+
+
+# ---------------------------------------------------------------- presets
+
+def cars_dt_tracking(data_stride: int = 1) -> PipelineConfig:
+    """Canonical paired-frame tracking config (parity target:
+    avod/configs/pyramid_cars_with_aug_dt_5_tracking.config)."""
+    cfg = PipelineConfig()
+    cfg.dataset.data_stride = data_stride
+    return cfg
+
+
+def cars_single_frame() -> PipelineConfig:
+    """Single-frame AVOD config (pyramid_cars_with_aug_example.config)."""
+    cfg = PipelineConfig()
+    cfg.model.model_name = "avod_model"
+    cfg.dataset.name = "kitti"
+    return cfg
+
+
+def unittest_pipeline() -> PipelineConfig:
+    """Small config for tests: tiny area, reduced capacities."""
+    cfg = PipelineConfig()
+    cfg.dataset.kitti_utils.area_extents = (
+        (-4.0, 4.0), (-5.0, 3.0), (0.0, 7.0))
+    cfg.dataset.max_points = 4096
+    cfg.dataset.max_gt_boxes = 8
+    cfg.dataset.image_shape = (90, 300)
+    cfg.dataset.mini_batch.rpn_mini_batch_size = 64
+    cfg.dataset.mini_batch.avod_mini_batch_size = 64
+    cfg.model.rpn.train_nms_size = 64
+    cfg.model.rpn.test_nms_size = 32
+    cfg.model.avod.nms_size = 16
+    cfg.model.avod.fc_layer_sizes = (64, 64, 64)
+    cfg.model.bev_extractor = FeatureExtractorConfig(
+        conv1=(1, 8), conv2=(1, 8), conv3=(1, 16), conv4=(1, 16))
+    cfg.model.img_extractor = FeatureExtractorConfig(
+        conv1=(1, 8), conv2=(1, 8), conv3=(1, 16), conv4=(1, 16))
+    cfg.model.correlation = CorrelationConfig(max_displacement=2, padding=2)
+    cfg.model.tower_dtype = "float32"
+    cfg.train.max_iterations = 10
+    return cfg

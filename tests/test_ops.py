@@ -1,0 +1,263 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dodt_tpu.ops import losses, nms, roi, correlation, sampling
+
+
+# ---------------------------------------------------------------- losses
+
+def test_smooth_l1():
+    pred = jnp.array([[0.0, 2.0], [1.0, 1.0]])
+    tgt = jnp.array([[0.5, 0.0], [1.0, 1.0]])
+    w = jnp.array([2.0, 1.0])
+    out = np.array(losses.weighted_smooth_l1(pred, tgt, w))
+    # row0: 0.5*0.25 + (2-0.5) = 1.625; x2 = 3.25. row1: 0
+    np.testing.assert_allclose(out, [3.25, 0.0], atol=1e-6)
+
+
+def test_softmax_loss():
+    logits = jnp.array([[10.0, 0.0], [0.0, 10.0]])
+    onehot = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    out = float(losses.weighted_softmax(logits, onehot, 1.0))
+    assert out < 1e-3
+    onehot_wrong = jnp.array([[0.0, 1.0], [1.0, 0.0]])
+    assert float(losses.weighted_softmax(logits, onehot_wrong, 1.0)) > 15
+
+
+def test_label_smoothing():
+    oh = np.array(losses.label_smoothing_onehot(jnp.array([1]), 2, 0.001))
+    np.testing.assert_allclose(oh[0], [0.0005, 0.9995], atol=1e-6)
+
+
+# ---------------------------------------------------------------- nms
+
+def np_greedy_nms(boxes, scores, thresh, max_out):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        if len(keep) == max_out:
+            break
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0, xx2 - xx1) * max(0, yy2 - yy1)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (a + b - inter) > thresh:
+                suppressed[j] = True
+    return keep
+
+
+def test_nms_matches_numpy_greedy():
+    rng = np.random.RandomState(4)
+    n = 64
+    xy = rng.uniform(0, 10, (n, 2))
+    wh = rng.uniform(1, 3, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    for thresh in (0.3, 0.5, 0.8):
+        want = np_greedy_nms(boxes, scores, thresh, 16)
+        idx, ok = nms.nms_bev(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.ones(n, bool), 16, thresh)
+        got = list(np.array(idx)[np.array(ok)])
+        assert got == want, (thresh, got, want)
+
+
+def test_nms_respects_valid_mask():
+    boxes = jnp.array([[0, 0, 1, 1], [10, 10, 11, 11]], jnp.float32)
+    scores = jnp.array([0.9, 0.8])
+    valid = jnp.array([False, True])
+    idx, ok = nms.nms_bev(boxes, scores, valid, 2, 0.5)
+    kept = np.array(idx)[np.array(ok)]
+    assert list(kept) == [1]
+
+
+# ---------------------------------------------------------------- roi
+
+def np_crop_and_resize(image, box, s):
+    h, w, c = image.shape
+    y1, x1, y2, x2 = box
+    out = np.zeros((s, s, c))
+    for i in range(s):
+        for j in range(s):
+            y = (y1 + (y2 - y1) * i / (s - 1)) * (h - 1)
+            x = (x1 + (x2 - x1) * j / (s - 1)) * (w - 1)
+            y = min(max(y, 0), h - 1)
+            x = min(max(x, 0), w - 1)
+            y0, x0 = int(np.floor(y)), int(np.floor(x))
+            y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            fy, fx = y - y0, x - x0
+            out[i, j] = (image[y0, x0] * (1 - fy) * (1 - fx) +
+                         image[y0, x1i] * (1 - fy) * fx +
+                         image[y1i, x0] * fy * (1 - fx) +
+                         image[y1i, x1i] * fy * fx)
+    return out
+
+
+def test_crop_and_resize_identity():
+    rng = np.random.RandomState(5)
+    img = rng.rand(7, 7, 3).astype(np.float32)
+    boxes = jnp.array([[0.0, 0.0, 1.0, 1.0]])
+    out = np.array(roi.crop_and_resize(jnp.asarray(img), boxes, 7))
+    np.testing.assert_allclose(out[0], img, atol=1e-5)
+
+
+def test_crop_and_resize_vs_numpy():
+    rng = np.random.RandomState(6)
+    img = rng.rand(20, 30, 4).astype(np.float32)
+    boxes = np.array([[0.1, 0.2, 0.6, 0.9],
+                      [0.0, 0.0, 0.3, 0.3],
+                      [0.5, 0.5, 1.0, 1.0]], np.float32)
+    out = np.array(roi.crop_and_resize(jnp.asarray(img),
+                                       jnp.asarray(boxes), 5))
+    for k in range(len(boxes)):
+        want = np_crop_and_resize(img, boxes[k], 5)
+        np.testing.assert_allclose(out[k], want, atol=1e-4)
+
+
+# ---------------------------------------------------------------- correlation
+
+def np_correlation(a, b, max_d, s2=1):
+    h, w, c = a.shape
+    r = max_d // s2
+    d = 2 * r + 1
+    pad = max_d
+    bp = np.pad(b, ((pad, pad), (pad, pad), (0, 0)))
+    out = np.zeros((h, w, d * d), np.float32)
+    for ky in range(d):
+        for kx in range(d):
+            dy = (ky - r) * s2
+            dx = (kx - r) * s2
+            shifted = bp[pad + dy: pad + dy + h, pad + dx: pad + dx + w]
+            out[:, :, ky * d + kx] = (a * shifted).sum(-1) / c
+    return out
+
+
+def test_correlation_xla_matches_numpy():
+    rng = np.random.RandomState(7)
+    a = rng.randn(12, 16, 8).astype(np.float32)
+    b = rng.randn(12, 16, 8).astype(np.float32)
+    for max_d, s2 in ((2, 1), (4, 2)):
+        want = np_correlation(a, b, max_d, s2)
+        got = np.array(correlation.correlation_xla(
+            jnp.asarray(a), jnp.asarray(b), max_d, s2))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_correlation_identical_maps_center_channel():
+    rng = np.random.RandomState(8)
+    a = rng.rand(10, 10, 4).astype(np.float32) + 0.5
+    out = np.array(correlation.correlation_xla(
+        jnp.asarray(a), jnp.asarray(a), 3, 1))
+    d = 7
+    center = d * d // 2
+    # center displacement channel is exactly sum_c a^2 / C
+    np.testing.assert_allclose(out[:, :, center], (a * a).sum(-1) / 4,
+                               atol=1e-5)
+    # and dominates all other channels on average
+    assert out[:, :, center].mean() > out.mean(axis=(0, 1)).max() - 1e-6
+
+
+def test_correlation_batched():
+    rng = np.random.RandomState(9)
+    a = rng.randn(2, 8, 8, 4).astype(np.float32)
+    b = rng.randn(2, 8, 8, 4).astype(np.float32)
+    out = np.array(correlation.correlation(
+        jnp.asarray(a), jnp.asarray(b), 2, use_pallas=False))
+    assert out.shape == (2, 8, 8, 25)
+    np.testing.assert_allclose(out[0], np_correlation(a[0], b[0], 2),
+                               atol=1e-5)
+
+
+def test_correlation_grad():
+    rng = np.random.RandomState(10)
+    a = jnp.asarray(rng.randn(6, 6, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(6, 6, 3).astype(np.float32))
+
+    def f(x, y):
+        return jnp.sum(correlation.correlation_xla(x, y, 2) ** 2)
+
+    ga, gb = jax.grad(f, argnums=(0, 1))(a, b)
+    # finite difference check on a few entries
+    eps = 1e-3
+    for idx in [(0, 0, 0), (3, 4, 1), (5, 5, 2)]:
+        ap = a.at[idx].add(eps)
+        am = a.at[idx].add(-eps)
+        fd = (f(ap, b) - f(am, b)) / (2 * eps)
+        np.testing.assert_allclose(ga[idx], fd, rtol=2e-2, atol=1e-3)
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_balanced_sample_counts():
+    key = jax.random.PRNGKey(0)
+    n = 1000
+    pos = jnp.zeros(n, bool).at[:30].set(True)
+    eligible = jnp.ones(n, bool)
+    sel, pos_sel = sampling.balanced_sample(key, pos, eligible, 256)
+    assert int(jnp.sum(sel)) == 256
+    assert int(jnp.sum(pos_sel)) == 30  # fewer than half the batch
+    assert bool(jnp.all(pos_sel <= pos))
+
+
+def test_balanced_sample_caps_positives():
+    key = jax.random.PRNGKey(1)
+    n = 1000
+    pos = jnp.zeros(n, bool).at[:900].set(True)
+    eligible = jnp.ones(n, bool)
+    sel, pos_sel = sampling.balanced_sample(key, pos, eligible, 256)
+    # positives capped at half the batch; only 100 negatives exist, so
+    # the total is 128 + 100 (matches the reference sampler, which fills
+    # with however many negatives are available).
+    assert int(jnp.sum(pos_sel)) == 128
+    assert int(jnp.sum(sel)) == 228
+
+
+def test_assign_targets():
+    anchors_bev = jnp.array([[0, 0, 2, 2], [10, 10, 12, 12], [0, 0, 1, 1]],
+                            jnp.float32)
+    gt_bev = jnp.array([[0, 0, 2, 2], [9, 9, 12, 12]], jnp.float32)
+    g, n = 2, 3
+    gt_offsets = jnp.arange(g * n * 6, dtype=jnp.float32).reshape(g, n, 6)
+    gt_classes = jnp.array([1, 2], jnp.int32)
+    gt_valid = jnp.array([True, True])
+    t = sampling.assign_targets(anchors_bev, gt_bev, gt_offsets,
+                                gt_classes, gt_valid)
+    assert list(np.array(t.gt_index)) == [0, 1, 0]
+    assert list(np.array(t.class_idx)) == [1, 2, 1]
+    np.testing.assert_allclose(np.array(t.max_iou)[0], 1.0)
+    # offsets taken from the matched GT row
+    np.testing.assert_allclose(np.array(t.offsets)[1],
+                               np.array(gt_offsets)[1, 1])
+
+
+def test_assign_targets_invalid_gt_ignored():
+    anchors_bev = jnp.array([[0, 0, 2, 2]], jnp.float32)
+    gt_bev = jnp.array([[0, 0, 2, 2], [0, 0, 2, 2]], jnp.float32)
+    gt_offsets = jnp.zeros((2, 1, 6))
+    t = sampling.assign_targets(
+        anchors_bev, gt_bev, gt_offsets,
+        jnp.array([1, 2], jnp.int32), jnp.array([False, True]))
+    assert list(np.array(t.gt_index)) == [1]
+    assert list(np.array(t.class_idx)) == [2]
+
+
+def test_sample_mini_batch_dead_zone():
+    key = jax.random.PRNGKey(2)
+    ious = jnp.array([0.0, 0.2, 0.4, 0.6, 0.9])
+    sel, pos = sampling.sample_mini_batch(
+        key, ious, 4, (0.0, 0.3), (0.5, 1.0))
+    sel = np.array(sel)
+    # 0.4 is in the dead zone [0.3, 0.5] -> never sampled
+    assert not sel[2]
+    assert np.array(pos)[3] and np.array(pos)[4]
