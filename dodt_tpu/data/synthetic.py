@@ -1,0 +1,222 @@
+"""Synthetic KITTI-format fixture generator.
+
+The reference ships a miniature real-KITTI fixture for tests
+(avod/tests/datasets/Kitti). We generate an equivalent fixture
+synthetically and deterministically: a few tracking videos of cars
+moving on a ground plane, with lidar points sampled on box surfaces and
+the ground, full KITTI file layout (velodyne .bin, image_02 .png,
+calib, label_02, oxts, planes). This exercises every reader/transform
+with data we fully control (known motion -> known correlation offsets).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# camera intrinsics for the fixture
+_F, _CX, _CY = 721.5, 609.5, 172.8
+_IMG_W, _IMG_H = 1242, 375
+# velo (x fwd, y left, z up) -> cam (x right, y down, z fwd)
+_R_VELO_TO_CAM = np.array([[0.0, -1.0, 0.0],
+                           [0.0, 0.0, -1.0],
+                           [1.0, 0.0, 0.0]], np.float32)
+_T_VELO_TO_CAM = np.array([0.0, -0.08, -0.27], np.float32)
+GROUND_Y = 1.65
+
+
+def _calib_text() -> str:
+    p2 = np.zeros((3, 4))
+    p2[0, 0] = p2[1, 1] = _F
+    p2[0, 2], p2[1, 2], p2[2, 2] = _CX, _CY, 1.0
+    tr = np.hstack([_R_VELO_TO_CAM, _T_VELO_TO_CAM[:, None]])
+    r0 = np.eye(3)
+
+    def row(name, mat):
+        return name + ": " + " ".join(f"{v:.12e}" for v in mat.ravel())
+
+    lines = [row("P0", p2), row("P1", p2), row("P2", p2), row("P3", p2),
+             row("R_rect", r0), row("Tr_velo_cam", tr),
+             row("Tr_imu_velo", np.hstack([np.eye(3), np.zeros((3, 1))]))]
+    return "\n".join(lines) + "\n"
+
+
+def _cam_to_velo(pts_cam: np.ndarray) -> np.ndarray:
+    return (np.linalg.inv(_R_VELO_TO_CAM) @ (pts_cam - _T_VELO_TO_CAM).T).T
+
+
+def _box_surface_points(box_3d, rng, n=256):
+    """Sample points on the visible surfaces of a car box (cam frame)."""
+    x, y, z, l, w, h, ry = box_3d
+    u = rng.uniform(-0.5, 0.5, (n, 2))
+    face = rng.randint(0, 4, n)
+    px = np.where(face == 0, u[:, 0] * l, np.where(
+        face == 1, -l / 2, np.where(face == 2, l / 2, u[:, 0] * l)))
+    pz = np.where(face == 0, -w / 2, np.where(
+        face == 1, u[:, 0] * w, np.where(face == 2, u[:, 0] * w, w / 2)))
+    py = -(u[:, 1] + 0.5) * h  # 0 at bottom to -h at top
+    c, s = np.cos(ry), np.sin(ry)
+    rx = c * px + s * pz
+    rz = -s * px + c * pz
+    return np.stack([rx + x, py + y, rz + z], axis=1)
+
+
+def _project(pts_cam):
+    uv = np.stack([
+        _F * pts_cam[:, 0] / pts_cam[:, 2] + _CX,
+        _F * pts_cam[:, 1] / pts_cam[:, 2] + _CY], axis=1)
+    return uv
+
+
+class SyntheticScene:
+    """Deterministic multi-frame scene of moving cars."""
+
+    def __init__(self, video_id: int, num_frames: int = 8, num_cars: int = 4,
+                 seed: int = 0, ego_speed: float = 0.0):
+        rng = np.random.RandomState(seed * 100 + video_id)
+        self.video_id = video_id
+        self.num_frames = num_frames
+        self.ego_speed = ego_speed
+        self.cars = []
+        for cid in range(num_cars):
+            x0 = rng.uniform(-8, 8)
+            z0 = rng.uniform(8, 40)
+            vx = rng.uniform(-0.4, 0.4)
+            vz = rng.uniform(-0.8, 0.8)
+            ry = rng.uniform(-np.pi, np.pi)
+            dims = (rng.uniform(3.4, 4.4), rng.uniform(1.5, 1.8),
+                    rng.uniform(1.4, 1.7))
+            self.cars.append(dict(id=cid, x0=x0, z0=z0, vx=vx, vz=vz,
+                                  ry=ry, dims=dims))
+        self.rng = rng
+
+    def boxes_at(self, frame: int) -> list:
+        """World-frame (= frame-0 camera frame) boxes per car."""
+        out = []
+        for car in self.cars:
+            x = car["x0"] + car["vx"] * frame
+            z = car["z0"] + car["vz"] * frame
+            l, w, h = car["dims"]
+            out.append((car["id"], np.array(
+                [x, GROUND_Y, z, l, w, h, car["ry"]], np.float32)))
+        return out
+
+    def ego_offset(self, frame: int) -> float:
+        """Ego forward (z) displacement of the camera at `frame`."""
+        return self.ego_speed * frame
+
+    def camera_boxes_at(self, frame: int) -> list:
+        """Boxes in the frame's own camera coordinates."""
+        dz = self.ego_offset(frame)
+        out = []
+        for cid, box in self.boxes_at(frame):
+            b = box.copy()
+            b[2] -= dz
+            if b[2] > 4.0:     # keep only boxes in front of the camera
+                out.append((cid, b))
+        return out
+
+    def point_cloud_at(self, frame: int, n_ground: int = 3000):
+        """(N, 4) velo-frame points for the frame."""
+        rng = np.random.RandomState(1000 + self.video_id * 100 + frame)
+        pts = []
+        gx = rng.uniform(-30, 30, n_ground)
+        gz = rng.uniform(5, 69, n_ground)
+        gy = np.full(n_ground, GROUND_Y) + rng.normal(0, 0.02, n_ground)
+        pts.append(np.stack([gx, gy, gz], axis=1))
+        for cid, box in self.camera_boxes_at(frame):
+            pts.append(_box_surface_points(box, rng, 384))
+        pts_cam = np.concatenate(pts).astype(np.float32)
+        pts_velo = _cam_to_velo(pts_cam)
+        intensity = rng.uniform(0, 1, (len(pts_velo), 1)).astype(np.float32)
+        return np.hstack([pts_velo, intensity]).astype(np.float32)
+
+    def label_lines(self) -> list:
+        lines = []
+        for frame in range(self.num_frames):
+            for cid, box in self.camera_boxes_at(frame):
+                x, y, z, l, w, h, ry = box
+                # project corners for the 2D bbox
+                from dodt_tpu.ops import boxes as box_ops
+                import jax.numpy as jnp
+                corners = np.array(box_ops.box_3d_to_corners(
+                    jnp.asarray(box[None]))).reshape(3, 8).T
+                uv = _project(corners)
+                x1, y1 = uv.min(0)
+                x2, y2 = uv.max(0)
+                x1, x2 = np.clip([x1, x2], 0, _IMG_W)
+                y1, y2 = np.clip([y1, y2], 0, _IMG_H)
+                alpha = ry - np.arctan2(x, z)
+                lines.append(
+                    f"{frame} {cid} Car 0.00 0 {alpha:.2f} "
+                    f"{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                    f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} "
+                    f"{ry:.2f}")
+        return lines
+
+    def oxts_lines(self) -> list:
+        """Ego drives straight +z (cam) = +x (velo) = east (yaw 0)."""
+        lines = []
+        r_earth = 6378137.0
+        for frame in range(self.num_frames):
+            dist = self.ego_offset(frame)
+            # eastward: longitude increases; latitude fixed at equator
+            lon = np.rad2deg(dist / r_earth)
+            vals = [0.0, lon, 0.0, 0.0, 0.0, 0.0] + [0.0] * 24
+            lines.append(" ".join(f"{v:.12f}" for v in vals))
+        return lines
+
+
+def write_tracking_fixture(root: str, num_videos: int = 2,
+                           num_frames: int = 8, seed: int = 0,
+                           ego_speed: float = 0.0) -> str:
+    """Write a synthetic KITTI tracking dataset under `root`.
+
+    Layout: root/training/{velodyne,image_02,calib,label_02,oxts,planes}
+    plus root/train.txt & root/val.txt split files in the reference's
+    grouped `VV/FFFF`-lines-per-video format.
+    """
+    import cv2
+
+    base = os.path.join(root, "training")
+    scenes = []
+    split_groups = []
+    for vid in range(num_videos):
+        scene = SyntheticScene(vid, num_frames, seed=seed,
+                               ego_speed=ego_speed)
+        scenes.append(scene)
+        vdir = os.path.join(base, "velodyne", f"{vid:04d}")
+        idir = os.path.join(base, "image_02", f"{vid:04d}")
+        pdir = os.path.join(base, "planes", f"{vid:04d}")
+        os.makedirs(vdir, exist_ok=True)
+        os.makedirs(idir, exist_ok=True)
+        os.makedirs(pdir, exist_ok=True)
+        os.makedirs(os.path.join(base, "calib"), exist_ok=True)
+        os.makedirs(os.path.join(base, "label_02"), exist_ok=True)
+        os.makedirs(os.path.join(base, "oxts"), exist_ok=True)
+
+        group = []
+        for frame in range(num_frames):
+            scene.point_cloud_at(frame).tofile(
+                os.path.join(vdir, f"{frame:06d}.bin"))
+            img = np.full((_IMG_H, _IMG_W, 3), 96, np.uint8)
+            cv2.imwrite(os.path.join(idir, f"{frame:06d}.png"), img)
+            with open(os.path.join(pdir, f"{frame:06d}.txt"), "w") as f:
+                f.write("# Plane\nWidth 4\nHeight 1\n"
+                        f"0.0 -1.0 0.0 {GROUND_Y}\n")
+            group.append(f"{vid:04d}/{frame:06d}")
+        split_groups.append("\n".join(group))
+
+        with open(os.path.join(base, "calib", f"{vid:04d}.txt"), "w") as f:
+            f.write(_calib_text())
+        with open(os.path.join(base, "label_02", f"{vid:04d}.txt"),
+                  "w") as f:
+            f.write("\n".join(scene.label_lines()) + "\n")
+        with open(os.path.join(base, "oxts", f"{vid:04d}.txt"), "w") as f:
+            f.write("\n".join(scene.oxts_lines()) + "\n")
+
+    split_text = "\n\n".join(split_groups) + "\n"
+    for split in ("train", "val", "trainval", "test"):
+        with open(os.path.join(root, split + ".txt"), "w") as f:
+            f.write(split_text)
+    return root

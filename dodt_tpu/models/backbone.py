@@ -1,0 +1,92 @@
+"""VGG-pyramid feature towers (Flax), bfloat16 compute.
+
+Parity target: reference bev_vgg_pyramid.py:29-178 / img_vgg_pyramid.py
+— encoder conv1-4 with 2x2 max-pools, decoder of stride-2 transposed
+convs with skip concat + 3x3 fusion convs, returning a full-resolution
+feature map with conv1's channel count.
+
+TPU deviations (documented):
+  * GroupNorm instead of BatchNorm — stateless (pure train step, no
+    batch_stats plumbing) and batch-size independent; equivalent
+    capacity for these shallow towers.
+  * compute dtype is bfloat16 by default (MXU native), params float32.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dodt_tpu.config import FeatureExtractorConfig
+
+KITTI_IMAGE_MEANS = (92.8403, 97.7996, 93.5843)  # img_feature_extractor.py:8
+
+
+def _norm(ch: int, dtype):
+    return nn.GroupNorm(num_groups=min(8, ch), dtype=dtype)
+
+
+class VggPyramid(nn.Module):
+    """Encoder-decoder pyramid tower; returns (B, H, W, conv1_ch)."""
+    cfg: FeatureExtractorConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    pad_rows: int = 0   # rows prepended before the tower, sliced after
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = x.astype(self.dtype)
+        if self.pad_rows:
+            x = jnp.pad(x, ((0, 0), (self.pad_rows, 0), (0, 0), (0, 0)))
+
+        def block(h, num, ch, name):
+            for i in range(num):
+                h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"{name}_{i}")(h)
+                h = _norm(ch, self.dtype)(h)
+                h = nn.relu(h)
+            return h
+
+        def pool(h):
+            return nn.max_pool(h, (2, 2), strides=(2, 2))
+
+        c1 = block(x, *cfg.conv1, name="conv1")
+        c2 = block(pool(c1), *cfg.conv2, name="conv2")
+        c3 = block(pool(c2), *cfg.conv3, name="conv3")
+        c4 = block(pool(c3), *cfg.conv4, name="conv4")
+
+        def up(h, ch, name):
+            h = nn.ConvTranspose(ch, (3, 3), strides=(2, 2),
+                                 padding="SAME", dtype=self.dtype,
+                                 name=name)(h)
+            h = _norm(ch, self.dtype)(h)
+            return nn.relu(h)
+
+        u3 = up(c4, cfg.conv3[1], "upconv3")
+        f3 = block(jnp.concatenate([c3, u3], axis=-1), 1, cfg.conv2[1],
+                   name="pyramid_fusion3")
+        u2 = up(f3, cfg.conv2[1], "upconv2")
+        f2 = block(jnp.concatenate([c2, u2], axis=-1), 1, cfg.conv1[1],
+                   name="pyramid_fusion2")
+        u1 = up(f2, cfg.conv1[1], "upconv1")
+        f1 = block(jnp.concatenate([c1, u1], axis=-1), 1, cfg.conv1[1],
+                   name="pyramid_fusion1")
+
+        if self.pad_rows:
+            f1 = f1[:, self.pad_rows:]
+        return f1
+
+
+def preprocess_image(image: jnp.ndarray) -> jnp.ndarray:
+    """Subtract KITTI channel means (reference
+    img_feature_extractor._mean_image_subtraction)."""
+    means = jnp.asarray(KITTI_IMAGE_MEANS, image.dtype)
+    return image - means
+
+
+def pad_rows_for_stride(height: int, stride: int = 8) -> int:
+    """Rows to prepend so height divides the total pool stride
+    (reference pads BEV 700 -> 704, bev_vgg_pyramid.py:59)."""
+    rem = height % stride
+    return 0 if rem == 0 else stride - rem
