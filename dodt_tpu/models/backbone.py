@@ -28,17 +28,25 @@ def _norm(ch: int, dtype):
 
 
 class VggPyramid(nn.Module):
-    """Encoder-decoder pyramid tower; returns (B, H, W, conv1_ch)."""
+    """Encoder-decoder pyramid tower; returns (B, H, W, conv1_ch).
+
+    Inputs of any (H, W) are zero-padded (top/left) up to a multiple of
+    the total pool stride 8 and sliced back after the decoder — the
+    reference's 700 -> 704 BEV padding (bev_vgg_pyramid.py:59),
+    generalized to both dims.
+    """
     cfg: FeatureExtractorConfig
     dtype: jnp.dtype = jnp.bfloat16
-    pad_rows: int = 0   # rows prepended before the tower, sliced after
+    pad_rows: int = 0   # unused, kept for config compatibility
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         x = x.astype(self.dtype)
-        if self.pad_rows:
-            x = jnp.pad(x, ((0, 0), (self.pad_rows, 0), (0, 0), (0, 0)))
+        ph = (-x.shape[1]) % 8
+        pw = (-x.shape[2]) % 8
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (ph, 0), (pw, 0), (0, 0)))
 
         def block(h, num, ch, name):
             for i in range(num):
@@ -73,8 +81,8 @@ class VggPyramid(nn.Module):
         f1 = block(jnp.concatenate([c1, u1], axis=-1), 1, cfg.conv1[1],
                    name="pyramid_fusion1")
 
-        if self.pad_rows:
-            f1 = f1[:, self.pad_rows:]
+        if ph or pw:
+            f1 = f1[:, ph:, pw:]
         return f1
 
 

@@ -1,0 +1,524 @@
+"""DODT detector (single-frame AVOD + paired-frame DT) — Flax, fully
+jit-able, statically shaped, batched.
+
+Re-design of the reference models (rpn_model.py, avod_model.py,
+dt_rpn_model.py, dt_avod_model.py): one functional pipeline that takes a
+padded point-cloud/image batch and runs
+
+  device BEV rasterization -> siamese VGG-pyramid towers -> 1x1
+  bottlenecks -> all-anchor ROI scoring (masked, not gathered) -> RPN
+  decode + fixed-capacity greedy NMS -> second-stage ROI fusion FC
+  (box_4ca) -> BEV correlation (Pallas) -> corr-offset head -> final NMS
+
+Siamese weight sharing across the frame axis is achieved by folding
+frames into the batch for every parameterized module (the reference
+uses TF scope.reuse_variables(), dt_rpn_model.py:282-322).
+
+Losses are computed in `compute_losses` from the forward outputs
+(mini-batch sampling + target assignment run on device, replacing the
+reference's offline .npy caches).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dodt_tpu.config import PipelineConfig
+from dodt_tpu.models.backbone import (VggPyramid, pad_rows_for_stride,
+                                      preprocess_image)
+from dodt_tpu.ops import boxes as box_ops
+from dodt_tpu.ops import losses as loss_ops
+from dodt_tpu.ops import nms as nms_ops
+from dodt_tpu.ops import sampling
+from dodt_tpu.ops.iou import aligned_iou_matrix
+from dodt_tpu.ops.anchors import (empty_anchor_mask, integral_image_2d,
+                                  tile_anchors_3d)
+from dodt_tpu.ops.correlation import correlation
+from dodt_tpu.ops.projection import (project_to_bev,
+                                     project_to_image_space,
+                                     reorder_boxes_yx)
+from dodt_tpu.ops.roi import crop_and_resize
+from dodt_tpu.ops.voxel import bev_maps_from_points
+
+
+class MlpHead(nn.Module):
+    """FC stack with dropout, final linear output (conv-as-FC heads in
+    the reference, rpn_model.py:365-441 / fusion_fc_layers.py)."""
+    sizes: Tuple[int, ...]
+    out_dim: int
+    keep_prob: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, s in enumerate(self.sizes):
+            x = nn.Dense(s, name=f"fc{6 + i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(1.0 - self.keep_prob, deterministic=not train)(x)
+        return nn.Dense(self.out_dim, name="out")(x)
+
+
+class FcTrunk(nn.Module):
+    """Shared FC trunk + multiple linear output branches."""
+    sizes: Tuple[int, ...]
+    out_dims: Tuple[int, ...]
+    keep_prob: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, s in enumerate(self.sizes):
+            x = nn.Dense(s, name=f"fc{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(1.0 - self.keep_prob, deterministic=not train)(x)
+        return tuple(nn.Dense(d, name=f"out{i}")(x)
+                     for i, d in enumerate(self.out_dims))
+
+
+class Bottleneck(nn.Module):
+    """1x1 conv + norm + relu (rpn_model.py:251-267)."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.channels, (1, 1))(x)
+        x = nn.GroupNorm(num_groups=1)(x)
+        return nn.relu(x)
+
+
+class DtAvodNet(nn.Module):
+    """Paired-frame (or single-frame) AVOD with correlation head."""
+    cfg: PipelineConfig
+    cluster_sizes: Tuple[Tuple[float, float, float], ...]
+    num_frames: int = 2
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.cfg.dataset.classes) + 1  # + background
+
+    def setup(self):
+        m = self.cfg.model
+        dtype = jnp.bfloat16 if m.tower_dtype == "bfloat16" else jnp.float32
+        bev_h, _ = self.cfg.dataset.kitti_utils.bev_shape
+        self.bev_tower = VggPyramid(m.bev_extractor, dtype=dtype,
+                                    pad_rows=pad_rows_for_stride(bev_h),
+                                    name="bev_vgg_pyr")
+        img_h = self.cfg.dataset.image_shape[0]
+        self.img_tower = VggPyramid(m.img_extractor, dtype=dtype,
+                                    pad_rows=pad_rows_for_stride(img_h),
+                                    name="img_vgg_pyr")
+        self.bev_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
+                                         name="bev_bottleneck")
+        self.img_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
+                                         name="img_bottleneck")
+        self.corr_bottleneck = Bottleneck(1, name="bev_corr_bottleneck")
+        self.rpn_cls = MlpHead(m.rpn.cls_fc_sizes, 2, m.rpn.keep_prob,
+                               name="rpn_cls")
+        self.rpn_reg = MlpHead(m.rpn.reg_fc_sizes, 6, m.rpn.keep_prob,
+                               name="rpn_reg")
+        # box_4ca branch: cls / box_4c offsets (10) / angle vector (2)
+        self.avod_trunk = FcTrunk(m.avod.fc_layer_sizes,
+                                  (self.num_classes, 10, 2),
+                                  m.avod.keep_prob, name="avod_fc")
+        self.corr_head = MlpHead(m.avod.fc_layer_sizes, 3,
+                                 m.avod.keep_prob, name="corr_fc")
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, Any], train: bool,
+                 mode: str = "train") -> Dict[str, Any]:
+        """Full forward. batch arrays (B = couples, F = frames):
+
+          points (B, F, P, 3), points_valid (B, F, P),
+          image (B, F, Hi, Wi, 3), ground_plane (B, 4), p2 (B, 3, 4),
+          orig_image_shape (B, 2)
+          [optional labels] gt_boxes (B, F, G, 7), gt_classes (B, F, G),
+          gt_valid (B, F, G), corr_offsets (B, G, 3),
+          corr_coexist (B, G)
+        """
+        cfg = self.cfg
+        ku = cfg.dataset.kitti_utils
+        m = cfg.model
+        bev_h, bev_w = ku.bev_shape
+        area = np.asarray(ku.area_extents, np.float32)
+        bev_extents = np.asarray(ku.bev_extents, np.float32)
+        bg = ku.bev_generator
+
+        points = batch["points"]
+        b, f = points.shape[0], points.shape[1]
+
+        # ---------------- BEV rasterization (on device) ----------------
+        rasterize = functools.partial(
+            bev_maps_from_points, area_extents=area,
+            voxel_size=ku.voxel_size, height_lo=bg.height_lo,
+            height_hi=bg.height_hi, num_slices=bg.num_slices)
+        maps = jax.vmap(jax.vmap(
+            lambda p, v, gp: rasterize(p, v, gp)))(
+                points, batch["points_valid"],
+                jnp.broadcast_to(batch["ground_plane"][:, None, :],
+                                 (b, f, 4)))
+        bev_input = maps.features                     # (B, F, H, W, S+1)
+        occupancy = maps.occupancy                    # (B, F, X, Z)
+
+        # ---------------- anchors ---------------------------------------
+        sizes = np.asarray(self.cluster_sizes, np.float32)
+        anchors = jax.vmap(lambda gp: box_ops.box_3d_to_anchor(
+            tile_anchors_3d(area, sizes, ku.anchor_strides, gp)))(
+                batch["ground_plane"])                # (B, N, 6)
+        n_anchors = anchors.shape[1]
+
+        integral = jax.vmap(jax.vmap(integral_image_2d))(occupancy)
+        anchor_valid = jax.vmap(jax.vmap(
+            lambda ii, anc: empty_anchor_mask(
+                ii, anc, bev_extents, ku.voxel_size, ku.density_threshold),
+            in_axes=(0, None)))(integral, anchors)     # (B, F, N)
+
+        # ---------------- towers ----------------------------------------
+        bev_flat = bev_input.reshape((b * f,) + bev_input.shape[2:])
+        img_flat = preprocess_image(
+            batch["image"].reshape((b * f,) + batch["image"].shape[2:]))
+        bev_feats = self.bev_tower(bev_flat).astype(jnp.float32)
+        img_feats = self.img_tower(img_flat).astype(jnp.float32)
+        bev_bottle = self.bev_bottleneck(bev_feats)
+        img_bottle = self.img_bottleneck(img_feats)
+
+        # path drop (reference rpn_model.create_path_drop_masks:931)
+        p_img, p_bev = m.path_drop_probabilities
+        if train and not (p_img == p_bev == 1.0):
+            rnd = jax.random.uniform(self.make_rng("pathdrop"), (b, 3))
+            img_mask, bev_mask = _path_drop_masks(rnd, p_img, p_bev)
+        else:
+            img_mask = jnp.ones((b,))
+            bev_mask = jnp.ones((b,))
+        fusion_div = img_mask + bev_mask               # (B,)
+
+        # ---------------- RPN: all-anchor ROI scoring -------------------
+        _, bev_norm = project_to_bev(anchors, bev_extents)     # (B, N, 4)
+        img_shapes = batch["orig_image_shape"].astype(jnp.float32)
+        _, img_norm = jax.vmap(
+            lambda anc, p2, sh: project_to_image_space(anc, p2, sh))(
+                anchors, batch["p2"], img_shapes)
+
+        bev_norm_yx = reorder_boxes_yx(bev_norm)
+        img_norm_yx = reorder_boxes_yx(img_norm)
+
+        crop = functools.partial(crop_and_resize,
+                                 crop_size=m.rpn.proposal_roi_crop_size)
+        # (B, F, N, s, s, C)
+        bev_rois = jax.vmap(lambda fm, bx: jax.vmap(
+            lambda fm1: crop(fm1, bx))(fm))(
+                bev_bottle.reshape((b, f) + bev_bottle.shape[1:]),
+                bev_norm_yx)
+        img_rois = jax.vmap(lambda fm, bx: jax.vmap(
+            lambda fm1: crop(fm1, bx))(fm))(
+                img_bottle.reshape((b, f) + img_bottle.shape[1:]),
+                img_norm_yx)
+
+        fused = (bev_rois * bev_mask[:, None, None, None, None, None] +
+                 img_rois * img_mask[:, None, None, None, None, None])
+        fused = fused / fusion_div[:, None, None, None, None, None]
+        flat = fused.reshape(b * f * n_anchors, -1)
+        objectness = self.rpn_cls(flat, train).reshape(b, f, n_anchors, 2)
+        rpn_offsets = self.rpn_reg(flat, train).reshape(b, f, n_anchors, 6)
+
+        # decode + NMS
+        proposals = box_ops.offset_to_anchor(
+            anchors[:, None], rpn_offsets)             # (B, F, N, 6)
+        _, prop_bev_norm = project_to_bev(proposals, bev_extents)
+        obj_scores = jax.nn.softmax(objectness, axis=-1)[..., 1]
+        obj_scores = jnp.where(anchor_valid, obj_scores, -1.0)
+
+        k_rpn = (m.rpn.train_nms_size if mode == "train"
+                 else m.rpn.test_nms_size)
+        pre_k = min(4 * k_rpn, n_anchors)
+
+        def rpn_nms(boxes_norm, scores, valid):
+            cand_idx, cand_valid = nms_ops.top_k_prefilter(
+                jnp.where(valid, scores, -1e9), valid, pre_k)
+            cand_boxes = boxes_norm[cand_idx]
+            keep, keep_valid = nms_ops.nms_bev(
+                cand_boxes, scores[cand_idx], cand_valid, k_rpn,
+                m.rpn.nms_iou_thresh)
+            return cand_idx[keep], keep_valid
+
+        top_idx, top_valid = jax.vmap(jax.vmap(rpn_nms))(
+            prop_bev_norm, obj_scores, anchor_valid)    # (B, F, K)
+        top_anchors = jnp.take_along_axis(
+            proposals, top_idx[..., None], axis=2)      # (B, F, K, 6)
+        top_scores = jnp.take_along_axis(obj_scores, top_idx, axis=2)
+
+        # ---------------- correlation (frame 0 vs frame 1) --------------
+        out = {
+            "anchors": anchors, "anchor_valid": anchor_valid,
+            "objectness": objectness, "rpn_offsets": rpn_offsets,
+            "top_anchors": top_anchors, "top_scores": top_scores,
+            "top_valid": top_valid, "bev_input": bev_input,
+            "img_mask": img_mask, "bev_mask": bev_mask,
+        }
+
+        bev_feats_bf = bev_feats.reshape((b, f) + bev_feats.shape[1:])
+        if self.num_frames == 2:
+            corr_vol = correlation(
+                bev_feats_bf[:, 0], bev_feats_bf[:, 1],
+                m.correlation.max_displacement, m.correlation.stride_2)
+            corr_bottle = self.corr_bottleneck(corr_vol)  # (B, H, W, 1)
+        else:
+            corr_bottle = None
+
+        # ---------------- second stage ----------------------------------
+        exp = m.expand_proposals_xz
+        if exp > 0.0:
+            proj_in = top_anchors.at[..., 3].add(exp).at[..., 5].add(exp)
+        else:
+            proj_in = top_anchors
+        _, ss_bev_norm = project_to_bev(proj_in, bev_extents)
+        _, ss_img_norm = jax.vmap(
+            lambda anc, p2, sh: project_to_image_space(
+                anc.reshape(-1, 6), p2, sh))(
+                proj_in.reshape(b, -1, 6), batch["p2"], img_shapes)
+        ss_img_norm = ss_img_norm.reshape(b, f, -1, 4)
+        ss_bev_yx = reorder_boxes_yx(ss_bev_norm)
+        ss_img_yx = reorder_boxes_yx(ss_img_norm)
+
+        crop2 = functools.partial(crop_and_resize,
+                                  crop_size=m.avod.proposal_roi_crop_size)
+        ss_bev_rois = jax.vmap(jax.vmap(crop2))(
+            bev_feats_bf, ss_bev_yx)                    # (B, F, K, 7, 7, C)
+        ss_img_rois = jax.vmap(jax.vmap(crop2))(
+            img_feats.reshape((b, f) + img_feats.shape[1:]), ss_img_yx)
+
+        ss_fused = (ss_bev_rois * bev_mask[:, None, None, None, None, None]
+                    + ss_img_rois
+                    * img_mask[:, None, None, None, None, None])
+        ss_fused = ss_fused / fusion_div[:, None, None, None, None, None]
+        k = ss_fused.shape[2]
+        cls_logits, box_offsets, angle_vecs = self.avod_trunk(
+            ss_fused.reshape(b * f * k, -1), train)
+        cls_logits = cls_logits.reshape(b, f, k, self.num_classes)
+        box_offsets = box_offsets.reshape(b, f, k, 10)
+        angle_vecs = angle_vecs.reshape(b, f, k, 2)
+
+        # correlation head on frame-0 proposals
+        if corr_bottle is not None:
+            corr_rois = jax.vmap(crop2)(corr_bottle, ss_bev_yx[:, 0])
+            corr_offsets = self.corr_head(
+                corr_rois.reshape(b * k, -1), train).reshape(b, k, 3)
+            out["corr_pred"] = corr_offsets
+
+        # decode box_4ca: proposals -> box_4c + offsets -> box_3d
+        prop_boxes_3d = box_ops.anchors_to_box_3d(top_anchors, fix_lw=True)
+        gp4 = batch["ground_plane"][:, None, None, :]
+        prop_4c = box_ops.box_3d_to_box_4c(prop_boxes_3d, gp4)
+        pred_4c = prop_4c + box_offsets
+        pred_boxes_3d = box_ops.box_4c_to_box_3d(pred_4c, gp4)
+        pred_orientations = box_ops.angle_vector_to_orientation(angle_vecs)
+
+        # final NMS per frame on highest non-bkg score
+        pred_anchors = box_ops.box_3d_to_anchor(pred_boxes_3d,
+                                                ortho_rotate=True)
+        _, pred_bev_norm = project_to_bev(pred_anchors, bev_extents)
+        final_scores_all = jnp.max(
+            jax.nn.softmax(cls_logits, axis=-1)[..., 1:], axis=-1)
+
+        def final_nms(boxes_norm, scores, valid):
+            keep, keep_valid = nms_ops.nms_bev(
+                boxes_norm, scores, valid, m.avod.nms_size,
+                m.avod.nms_iou_thresh)
+            return keep, keep_valid
+
+        f_idx, f_valid = jax.vmap(jax.vmap(final_nms))(
+            pred_bev_norm, final_scores_all, top_valid)
+
+        def gather2(x, idx):
+            return jnp.take_along_axis(
+                x, idx.reshape(idx.shape + (1,) * (x.ndim - idx.ndim)),
+                axis=2)
+
+        out.update({
+            "proposal_boxes_3d": prop_boxes_3d,
+            "proposal_4c": prop_4c,
+            "cls_logits": cls_logits,
+            "box_offsets": box_offsets,
+            "angle_vectors": angle_vecs,
+            "pred_boxes_3d": pred_boxes_3d,
+            "pred_orientations": pred_orientations,
+            "final_indices": f_idx,
+            "final_valid": f_valid & jnp.take_along_axis(top_valid, f_idx,
+                                                         axis=2),
+            "final_boxes_3d": gather2(pred_boxes_3d, f_idx),
+            "final_orientations": jnp.take_along_axis(
+                pred_orientations, f_idx, axis=2),
+            "final_cls_softmax": gather2(
+                jax.nn.softmax(cls_logits, axis=-1), f_idx),
+            "final_scores": jnp.take_along_axis(final_scores_all, f_idx,
+                                                axis=2),
+        })
+        if corr_bottle is not None:
+            out["final_corr_offsets"] = jnp.take_along_axis(
+                out["corr_pred"], f_idx[:, 0][..., None], axis=1)
+        return out
+
+
+def _path_drop_masks(rnd: jnp.ndarray, p_img: float, p_bev: float):
+    """Per-sample path-drop coin flips (rpn_model.py:931-992)."""
+    img_chance = (rnd[:, 0] < p_img).astype(jnp.float32)
+    bev_chance = (rnd[:, 1] < p_bev).astype(jnp.float32)
+    both_dead = (img_chance + bev_chance) < 0.5
+    img_second = (rnd[:, 2] > 0.5).astype(jnp.float32)
+    bev_second = 1.0 - img_second
+    img_mask = jnp.where(both_dead, img_second, img_chance)
+    bev_mask = jnp.where(both_dead, bev_second, bev_chance)
+    return img_mask, bev_mask
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
+                   batch: Dict[str, Any], rng) -> Tuple[jnp.ndarray, Dict]:
+    """RPN + AVOD + correlation losses (reference rpn_model.loss:875,
+    avod_loss_builder, dt_avod_loss_builder._get_correlation_loss:264).
+
+    All mini-batch sampling and target assignment happens here, on
+    device, per (sample, frame).
+    """
+    ku = cfg.dataset.kitti_utils
+    mb = cfg.dataset.mini_batch
+    lw = cfg.model.loss
+    eps = cfg.model.label_smoothing_epsilon
+    bev_extents = np.asarray(ku.bev_extents, np.float32)
+
+    anchors = outputs["anchors"]                     # (B, N, 6)
+    b, f = outputs["objectness"].shape[0:2]
+    num_classes = outputs["cls_logits"].shape[-1]
+
+    gt_boxes = batch["gt_boxes"]                     # (B, F, G, 7)
+    gt_classes = batch["gt_classes"]
+    gt_valid = batch["gt_valid"]
+
+    # GT in (ortho) anchor form + BEV boxes
+    gt_anchors = box_ops.box_3d_to_anchor(gt_boxes, ortho_rotate=True)
+    gt_bev, _ = project_to_bev(gt_anchors, bev_extents)
+
+    anchors_bev, _ = project_to_bev(anchors, bev_extents)
+
+    rngs = jax.random.split(rng, b * f * 2).reshape(b, f, 2, 2)
+
+    def rpn_loss_one(anchors_1, anchors_bev_1, valid_1, obj_1, off_1,
+                     gt_bev_1, gt_anchor_1, gt_cls_1, gt_valid_1, key):
+        tgt = sampling.assign_targets(anchors_bev_1, anchors_1, gt_bev_1,
+                                      gt_anchor_1, gt_cls_1, gt_valid_1)
+        max_iou = jnp.where(valid_1, tgt.max_iou, 0.0)
+        sel, pos = sampling.sample_mini_batch(
+            key, max_iou, mb.rpn_mini_batch_size,
+            mb.rpn_neg_iou_range, mb.rpn_pos_iou_range)
+        sel &= valid_1
+        pos &= valid_1
+        num_sel = jnp.maximum(jnp.sum(sel), 1)
+        num_pos = jnp.maximum(jnp.sum(pos), 1)
+        obj_gt = jnp.where(pos, 1, 0)
+        onehot = jax.nn.one_hot(obj_gt, 2) * (1 - 2 * eps) + eps
+        logp = jax.nn.log_softmax(obj_1, axis=-1)
+        ce = -jnp.sum(onehot * logp, axis=-1)
+        cls_loss = jnp.sum(ce * sel) * lw.cls_loss_weight / num_sel
+        reg = loss_ops.weighted_smooth_l1(off_1, tgt.offsets,
+                                          pos.astype(jnp.float32))
+        reg_loss = jnp.sum(reg) * lw.reg_loss_weight / num_pos
+        return cls_loss, reg_loss
+
+    rpn_cls, rpn_reg = jax.vmap(jax.vmap(
+        rpn_loss_one,
+        in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        anchors, anchors_bev, outputs["anchor_valid"],
+        outputs["objectness"], outputs["rpn_offsets"],
+        gt_bev, gt_anchors, gt_classes, gt_valid, rngs[:, :, 0])
+
+    # ---------------- second stage ------------------------------------
+    top_anchors = outputs["top_anchors"]             # (B, F, K, 6)
+    top_bev, _ = project_to_bev(top_anchors, bev_extents)
+    prop_4c = outputs["proposal_4c"]
+    gp = batch["ground_plane"]
+
+    def avod_loss_one(top_bev_1, top_valid_1, prop_4c_1, cls_1, off_1,
+                      ang_1, gt_bev_1, gt_boxes_1, gt_cls_1, gt_valid_1,
+                      gp_1, corr_pred_1, corr_gt_1, coexist_1, key,
+                      use_corr):
+        iou = jnp.where(gt_valid_1[None, :],
+                        aligned_iou_matrix(top_bev_1, gt_bev_1),
+                        -1.0)
+        gt_index = jnp.argmax(iou, axis=1)
+        max_iou = jnp.maximum(jnp.max(iou, axis=1), 0.0)
+        max_iou = jnp.where(top_valid_1, max_iou, 0.0)
+        sel, pos = sampling.sample_mini_batch(
+            key, max_iou, mb.avod_mini_batch_size,
+            mb.avod_neg_iou_range, mb.avod_pos_iou_range)
+        sel &= top_valid_1
+        pos &= top_valid_1
+        num_sel = jnp.maximum(jnp.sum(sel), 1)
+        num_pos = jnp.maximum(jnp.sum(pos), 1)
+
+        cls_gt = jnp.where(pos, gt_cls_1[gt_index], 0)
+        onehot = jax.nn.one_hot(cls_gt, num_classes) * \
+            (1 - 2 * eps) + eps
+        logp = jax.nn.log_softmax(cls_1, axis=-1)
+        ce = -jnp.sum(onehot * logp, axis=-1)
+        cls_loss = jnp.sum(ce * sel) * lw.cls_loss_weight / num_sel
+
+        # box_4c offsets targets
+        gt_best = gt_boxes_1[gt_index]               # (K, 7)
+        gt_4c = box_ops.box_3d_to_box_4c(gt_best, gp_1[None, :])
+        off_gt = gt_4c - prop_4c_1
+        reg = loss_ops.weighted_smooth_l1(off_1, off_gt,
+                                          pos.astype(jnp.float32))
+        reg_loss = jnp.sum(reg) * lw.reg_loss_weight / num_pos
+
+        ang_gt = box_ops.orientation_to_angle_vector(gt_best[:, 6])
+        ang = loss_ops.weighted_smooth_l1(ang_1, ang_gt,
+                                          pos.astype(jnp.float32))
+        ang_loss = jnp.sum(ang) * lw.ang_loss_weight / num_pos
+
+        # correlation loss (frame 0 only): targets gathered by matched GT
+        corr_gt_k = corr_gt_1[gt_index]              # (K, 3)
+        corr_w = pos.astype(jnp.float32) * \
+            coexist_1[gt_index].astype(jnp.float32) * use_corr
+        corr = loss_ops.weighted_smooth_l1(corr_pred_1, corr_gt_k, corr_w)
+        corr_loss = jnp.sum(corr) * lw.corr_loss_weight / \
+            jnp.maximum(jnp.sum(corr_w), 1)
+        return cls_loss, reg_loss, ang_loss, corr_loss
+
+    has_corr = "corr_pred" in outputs
+    if has_corr:
+        corr_pred = outputs["corr_pred"]
+        corr_pred_bf = jnp.stack([corr_pred, jnp.zeros_like(corr_pred)],
+                                 axis=1)
+        corr_gt = batch["corr_offsets"]
+        coexist = batch["corr_coexist"]
+    else:
+        k = top_anchors.shape[2]
+        corr_pred_bf = jnp.zeros((b, f, k, 3))
+        g = gt_boxes.shape[2]
+        corr_gt = jnp.zeros((b, g, 3))
+        coexist = jnp.zeros((b, g), bool)
+    use_corr = jnp.asarray([1.0, 0.0])[:f] if has_corr else jnp.zeros(f)
+
+    avod_cls, avod_reg, avod_ang, corr_l = jax.vmap(jax.vmap(
+        avod_loss_one,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0, None, None, 0, 0)),
+        in_axes=(0,) * 10 + (0,) + (0, 0, 0, 0, None))(
+        top_bev, outputs["top_valid"], prop_4c, outputs["cls_logits"],
+        outputs["box_offsets"], outputs["angle_vectors"], gt_bev,
+        gt_boxes, gt_classes, gt_valid, gp, corr_pred_bf, corr_gt,
+        coexist, rngs[:, :, 1], use_corr)
+
+    losses = {
+        "rpn_cls": jnp.mean(rpn_cls), "rpn_reg": jnp.mean(rpn_reg),
+        "avod_cls": jnp.mean(avod_cls), "avod_reg": jnp.mean(avod_reg),
+        "avod_ang": jnp.mean(avod_ang), "corr": jnp.mean(corr_l),
+    }
+    total = sum(losses.values())
+    losses["total"] = total
+    return total, losses

@@ -26,8 +26,9 @@ class AnchorTargets(NamedTuple):
 
 
 def assign_targets(anchors_bev: jnp.ndarray,
+                   anchors: jnp.ndarray,
                    gt_bev: jnp.ndarray,
-                   gt_offsets_per_anchor: jnp.ndarray,
+                   gt_anchors: jnp.ndarray,
                    gt_classes: jnp.ndarray,
                    gt_valid: jnp.ndarray) -> AnchorTargets:
     """Best-GT assignment per anchor (reference
@@ -35,23 +36,31 @@ def assign_targets(anchors_bev: jnp.ndarray,
 
     Args:
       anchors_bev: (N, 4) BEV-projected aligned boxes of the anchors.
+      anchors: (N, 6) anchors in anchor format (for offset encoding).
       gt_bev: (G, 4) BEV-projected aligned boxes of (ortho-rotated) GT.
-      gt_offsets_per_anchor: (G, N, 6) offsets of each anchor to each GT
-        (precomputed by the caller with the anchor codec).
+      gt_anchors: (G, 6) GT in (ortho-rotated) anchor format.
       gt_classes: (G,) int32 class indices (>= 1).
       gt_valid: (G,) bool mask of real GT rows.
 
     Returns:
-      AnchorTargets with static shapes.
+      AnchorTargets with static shapes. Offsets are encoded against the
+      best-IoU GT (gathered first — no G x N x 6 intermediate).
     """
+    from dodt_tpu.ops.boxes import anchor_to_offset
+
     iou = aligned_iou_matrix(anchors_bev, gt_bev)        # (N, G)
     iou = jnp.where(gt_valid[None, :], iou, -1.0)
     gt_index = jnp.argmax(iou, axis=1).astype(jnp.int32)  # (N,)
     max_iou = jnp.maximum(jnp.max(iou, axis=1), 0.0)
 
-    n = anchors_bev.shape[0]
-    offsets = jnp.take_along_axis(
-        gt_offsets_per_anchor, gt_index[None, :, None], axis=0)[0]
+    best_gt = gt_anchors[gt_index]                        # (N, 6)
+    # guard against log(0) on padded GT rows
+    safe_gt = jnp.where(best_gt[:, 3:6].min(-1, keepdims=True) > 0,
+                        best_gt,
+                        jnp.concatenate(
+                            [best_gt[:, 0:3], jnp.ones_like(best_gt[:, 3:6])],
+                            axis=-1))
+    offsets = anchor_to_offset(anchors, safe_gt)
     matched = max_iou > 0.0
     class_idx = jnp.where(matched, gt_classes[gt_index], 0).astype(jnp.int32)
     offsets = jnp.where(matched[:, None], offsets, 0.0)

@@ -1,0 +1,252 @@
+"""Training runtime: optax optimizer, pjit data-parallel step, orbax
+checkpoints, named-subtree transfer learning.
+
+Replaces the reference trainer (trainer.py:27, trainer_stride.py,
+stack_trainer.py): the feed_dict loop becomes a jitted sharded step; the
+brittle index-sliced variable freezing/restoring (trainer.py:160-183)
+becomes named parameter-subtree restore + gradient masking.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dodt_tpu.config import PipelineConfig
+from dodt_tpu.models import dt_avod
+from dodt_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def make_lr_schedule(cfg):
+    opt = cfg.train.optimizer
+    return optax.exponential_decay(
+        init_value=opt.initial_lr,
+        transition_steps=opt.decay_steps,
+        decay_rate=opt.decay_factor,
+        staircase=opt.staircase)
+
+
+def make_optimizer(cfg: PipelineConfig,
+                   frozen_mask=None) -> optax.GradientTransformation:
+    """Adam + exp-decay LR + global-norm clip 1.0 (reference
+    optimizer_builder.build:23 + slim create_train_op clip, trainer.py:97).
+    `frozen_mask`: pytree of bools, True = zero the gradient (named
+    replacement for index-slice freezing)."""
+    opt = cfg.train.optimizer
+    schedule = make_lr_schedule(cfg)
+    chain = [optax.clip_by_global_norm(opt.grad_clip_norm)]
+    if opt.name == "adam":
+        chain.append(optax.adam(schedule))
+    elif opt.name == "momentum":
+        chain.append(optax.sgd(schedule, momentum=0.9))
+    elif opt.name == "rmsprop":
+        chain.append(optax.rmsprop(schedule))
+    else:
+        chain.append(optax.sgd(schedule))
+    tx = optax.chain(*chain)
+    if frozen_mask is not None:
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), frozen_mask), tx)
+    return tx
+
+
+def frozen_mask_from_subtrees(params, frozen_subtrees) -> Any:
+    """True for leaves under any of the named top-level subtrees."""
+    def rule(path, _):
+        keys = [getattr(p, "key", "") for p in path]
+        return any(k in frozen_subtrees for k in keys)
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def create_train_state(cfg: PipelineConfig, model, batch,
+                       rng) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": rng, "pathdrop": rng}, batch,
+        train=False, mode="val")
+    params = variables["params"]
+    frozen = None
+    if cfg.train.frozen_subtrees:
+        frozen = frozen_mask_from_subtrees(params, cfg.train.frozen_subtrees)
+    tx = make_optimizer(cfg, frozen)
+    opt_state = tx.init(params)
+    ema = params if cfg.train.optimizer.use_moving_average else None
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state, ema_params=ema)
+
+
+def make_train_step(cfg: PipelineConfig, model, mesh=None):
+    """Returns a jitted train step: (state, batch, rng) -> (state, losses).
+
+    Data parallelism: batch leading axis sharded over the mesh 'data'
+    axis; with params replicated, XLA emits the gradient all-reduce
+    (psum) over ICI automatically.
+    """
+    frozen = None
+    tx_holder = {}
+
+    def get_tx(params):
+        if "tx" not in tx_holder:
+            f = None
+            if cfg.train.frozen_subtrees:
+                f = frozen_mask_from_subtrees(params,
+                                              cfg.train.frozen_subtrees)
+            tx_holder["tx"] = make_optimizer(cfg, f)
+        return tx_holder["tx"]
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], rng):
+        drop_rng, path_rng, samp_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch, train=True,
+                              mode="train",
+                              rngs={"dropout": drop_rng,
+                                    "pathdrop": path_rng})
+            total, losses = dt_avod.compute_losses(cfg, out, batch,
+                                                   samp_rng)
+            return total, losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        tx = get_tx(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            decay = cfg.train.optimizer.moving_average_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1 - decay) * p, ema, new_params)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt, ema_params=ema)
+        return new_state, losses
+
+    # With a mesh, the batch is device_put with a 'data' sharding by the
+    # caller (mesh_lib.shard_batch) and params stay replicated — jit
+    # propagates the shardings and XLA inserts the gradient all-reduce.
+    del frozen
+    return jax.jit(step_fn, donate_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+class CheckpointIO:
+    """Thin orbax wrapper with named-subtree partial restore."""
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 10000):
+        import orbax.checkpoint as ocp
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, step: int, state: TrainState):
+        import orbax.checkpoint as ocp
+        self.manager.save(
+            step, args=ocp.args.StandardSave(
+                {"params": state.params, "step": int(step)}))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def all_steps(self):
+        return sorted(self.manager.all_steps())
+
+    def restore_params(self, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore())
+        return restored["params"]
+
+    def restore_subtrees(self, params, source_dir: str,
+                         subtrees, step: Optional[int] = None):
+        """Named-subtree transfer restore (replaces reference
+        trainer.py:160-183 index slicing): copies matching top-level
+        subtrees from another experiment's checkpoint into `params`."""
+        other = CheckpointIO(source_dir)
+        src = other.restore_params(step)
+        if src is None:
+            raise FileNotFoundError(f"no checkpoint in {source_dir}")
+        out = dict(params)
+        for name in subtrees:
+            if name in src:
+                out[name] = src[name]
+        return type(params)(out) if not isinstance(params, dict) else out
+
+
+# ---------------------------------------------------------------------------
+# Trainer loop
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    def __init__(self, cfg: PipelineConfig, model, dataset,
+                 ckpt_dir: str, mesh=None, batch_size: int = 1):
+        self.cfg = cfg
+        self.model = model
+        self.dataset = dataset
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.ckpt = CheckpointIO(ckpt_dir,
+                                 cfg.train.max_checkpoints_to_keep)
+        self.step_fn = make_train_step(cfg, model, mesh)
+        self.rng = jax.random.PRNGKey(42)
+
+    def init_or_restore(self) -> TrainState:
+        batch = self._device_batch(augment=False)
+        state = create_train_state(self.cfg, self.model, batch, self.rng)
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            params = self.ckpt.restore_params(latest)
+            state = state._replace(
+                params=params, step=jnp.asarray(latest, jnp.int32))
+        elif self.cfg.train.pretrained_checkpoint:
+            params = self.ckpt.restore_subtrees(
+                state.params, self.cfg.train.pretrained_checkpoint,
+                self.cfg.train.pretrained_subtrees)
+            state = state._replace(params=params)
+        return state
+
+    def _device_batch(self, augment=True):
+        batch = self.dataset.next_batch(self.batch_size, augment=augment)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if not isinstance(v, list)}
+        if self.mesh is not None:
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+        return batch
+
+    def train(self, max_steps: Optional[int] = None, log_every: int = 10):
+        state = self.init_or_restore()
+        max_steps = max_steps or self.cfg.train.max_iterations
+        history = []
+        t0 = time.time()
+        while int(state.step) < max_steps:
+            batch = self._device_batch()
+            state, losses = self.step_fn(state, batch, self.rng)
+            step = int(state.step)
+            if step % log_every == 0 or step == max_steps:
+                losses = {k: float(v) for k, v in losses.items()}
+                losses["step"] = step
+                losses["wall_s"] = time.time() - t0
+                history.append(losses)
+            if step % self.cfg.train.checkpoint_interval == 0 or \
+                    step == max_steps:
+                self.ckpt.save(step, state)
+        return state, history

@@ -1,0 +1,115 @@
+"""IoU-association tracker over paired-frame detections.
+
+Parity target: reference evaluator_utils.track_through_ious:642 and
+tracking/dt_tracking_eval.track_iou:204 / track_iou_v2:271 — greedy
+best-3D-IoU matching of active tracks against detections, using the
+predicted correlation offsets to propagate each track's last box before
+matching; track confirmation by (max_score >= high_threshold, length >=
+t_min); v2 adds a time-to-live for occlusion tolerance.
+
+Detections are dicts:
+  {frame_id: int, box_3d: (7,) [x,y,z,l,w,h,ry], score: float,
+   offsets: (3,) [dx, dz, dry] predicted motion to the next keyframe,
+   info: optional tuple (type, truncation, occlusion, alpha),
+   bbox_2d: optional (4,)}
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, List
+
+import numpy as np
+
+from dodt_tpu.utils.np_iou import three_d_iou
+
+
+def _propagated(box_3d: np.ndarray, offsets) -> np.ndarray:
+    out = np.array(box_3d, dtype=np.float64).copy()
+    if offsets is not None:
+        out[0] += offsets[0]
+        out[2] += offsets[1]
+        out[6] += offsets[2]
+    return out
+
+
+def track_through_ious(dets_per_frame: List[List[Dict]],
+                       high_threshold: float = 0.85,
+                       iou_threshold: float = 0.005,
+                       t_min: int = 3,
+                       ttl: int = 1) -> List[Dict]:
+    """Greedy IoU tracker with offset propagation.
+
+    Args:
+      dets_per_frame: detections per keyframe (already in a common or
+        per-frame-consistent coordinate frame).
+      high_threshold: min max-score for a track to be kept.
+      iou_threshold: association threshold.
+      t_min: minimum track length.
+      ttl: frames a track survives without a match (1 = strict, like
+        track_through_ious; >1 = track_iou_v2 occlusion tolerance).
+
+    Returns:
+      list of {trajectory: [det...], max_score, start_frame, frames}.
+    """
+    tracks_active: List[Dict] = []
+    tracks_finished: List[Dict] = []
+
+    for frame_num, frame_dets in enumerate(dets_per_frame):
+        dets = list(frame_dets)
+        updated = []
+        for track in tracks_active:
+            matched = False
+            if dets:
+                last = track["trajectory"][-1]
+                prop = _propagated(last["box_3d"], last.get("offsets"))
+                ious = three_d_iou(
+                    prop, np.stack([d["box_3d"] for d in dets]))
+                best = int(np.argmax(ious))
+                if ious[best] > iou_threshold:
+                    det = dets.pop(best)
+                    track["trajectory"].append(det)
+                    track["frames"].append(frame_num)
+                    track["max_score"] = max(track["max_score"],
+                                             det["score"])
+                    track["miss"] = 0
+                    updated.append(track)
+                    matched = True
+            if not matched:
+                track["miss"] = track.get("miss", 0) + 1
+                if track["miss"] < ttl:
+                    updated.append(track)   # keep alive (v2 semantics)
+                elif track["max_score"] >= high_threshold and \
+                        len(track["trajectory"]) >= t_min:
+                    tracks_finished.append(track)
+
+        new_tracks = [{"trajectory": [det], "max_score": det["score"],
+                       "start_frame": frame_num, "frames": [frame_num],
+                       "miss": 0} for det in dets]
+        tracks_active = updated + new_tracks
+
+    tracks_finished += [t for t in tracks_active
+                        if t["max_score"] >= high_threshold and
+                        len(t["trajectory"]) >= t_min]
+    return tracks_finished
+
+
+def trajectories_to_kitti(tracks: List[Dict], classes=("Car",)
+                          ) -> List[str]:
+    """KITTI tracking format lines:
+    frame track_id type trunc occ alpha bbox(4) h w l x y z ry score
+    (reference convert_trajectory_to_kitti_format:720)."""
+    rows = []
+    for tid, track in enumerate(tracks):
+        score = track["max_score"]
+        for det, frame in zip(track["trajectory"], track["frames"]):
+            x, y, z, l, w, h, ry = det["box_3d"]
+            obj_type = det.get("type", classes[0])
+            bbox = det.get("bbox_2d", (0.0, 0.0, 0.0, 0.0))
+            rows.append((frame, tid,
+                         f"{frame} {tid} {obj_type} 0 0 -10 "
+                         f"{bbox[0]:.6f} {bbox[1]:.6f} {bbox[2]:.6f} "
+                         f"{bbox[3]:.6f} {h:.6f} {w:.6f} {l:.6f} "
+                         f"{x:.6f} {y:.6f} {z:.6f} {ry:.6f} "
+                         f"{score:.6f}"))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return [r[2] for r in rows]

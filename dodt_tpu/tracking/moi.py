@@ -1,0 +1,134 @@
+"""Motion-offset interpolation (MoI) over non-keyframes.
+
+Parity target: reference evaluator_utils.interpolate_non_keyframe_
+predicitons:424 + interpolate_trajectory:510 — given detections at two
+keyframes (t, t+tau) with predicted correlation offsets, synthesize
+detections for the tau-1 intermediate frames by linear interpolation of
+[x, z, ry]; births/deaths use the coexist flag to blank half the gap.
+
+Detections here are dicts (see iou_tracker) plus:
+  coexist: float in [0, 1] — probability the object exists in BOTH
+  frames (frame-0 dets) / existed in frame 0 (frame-1 dets).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dodt_tpu.utils.np_iou import three_d_iou
+
+
+def match_pairs(dets0: List[Dict], dets1: List[Dict]):
+    """Greedy best-IoU matching of frame-0 dets (offset-propagated)
+    against frame-1 dets. Returns list of (det0 | None, det1 | None)."""
+    pairs = []
+    unmatched1 = list(range(len(dets1)))
+    for det0 in dets0:
+        best_j, best_iou = None, 0.0
+        if unmatched1:
+            prop = np.array(det0["box_3d"], np.float64)
+            off = det0.get("offsets")
+            if off is not None:
+                prop[0] += off[0]
+                prop[2] += off[1]
+                prop[6] += off[2]
+            cand = np.stack([dets1[j]["box_3d"] for j in unmatched1])
+            ious = three_d_iou(prop, cand)
+            k = int(np.argmax(ious))
+            if ious[k] > 0:
+                best_j, best_iou = unmatched1[k], ious[k]
+        if best_j is not None:
+            pairs.append((det0, dets1[best_j]))
+            unmatched1.remove(best_j)
+        else:
+            pairs.append((det0, None))
+    for j in unmatched1:
+        pairs.append((None, dets1[j]))
+    return pairs
+
+
+def interpolate_pair(det0: Optional[Dict], det1: Optional[Dict],
+                     num_frames: int) -> List[Optional[Dict]]:
+    """Fill `num_frames` slots (keyframe 0 .. keyframe tau inclusive)
+    for one matched pair (reference interpolate_trajectory:510)."""
+    n = num_frames
+    out: List[Optional[Dict]] = []
+
+    def lerped(base, slot_frac, offsets, score):
+        obj = copy.deepcopy(base)
+        box = np.array(obj["box_3d"], np.float64)
+        box[0] += offsets[0] * slot_frac
+        box[2] += offsets[1] * slot_frac
+        box[6] += offsets[2] * slot_frac
+        obj["box_3d"] = box
+        obj["score"] = score
+        obj["interpolated"] = True
+        return obj
+
+    if det0 is not None and det1 is not None:
+        score = max(det0["score"], det1["score"])
+        offsets = np.array(det1["box_3d"], np.float64)[[0, 2, 6]] - \
+            np.array(det0["box_3d"], np.float64)[[0, 2, 6]]
+        out.append(det0)
+        for i in range(n - 2):
+            out.append(lerped(det0, (i + 1.0) / (n - 1), offsets, score))
+        d1 = copy.deepcopy(det1)
+        d1["score"] = score
+        out.append(d1)
+    elif det0 is None:
+        # appears only at frame tau: death-in-reverse / birth
+        coexist = det1.get("coexist", 0.0)
+        offsets = np.asarray(det1.get("offsets", np.zeros(3)), np.float64)
+        if coexist <= 0.5:
+            # extrapolate backwards along its (incoming) motion
+            for i in range(n - 1):
+                frac = -(n - i - 2.0) / (n - 1)
+                out.append(lerped(det1, frac, offsets, det1["score"]))
+            out.append(det1)
+        else:
+            for i in range(n - 1):
+                out.append(None if i <= n / 2 else copy.deepcopy(det1))
+            out.append(det1)
+    else:
+        # exists only at frame 0: extrapolate forward or die mid-gap
+        coexist = det0.get("coexist", 1.0)
+        offsets = np.asarray(det0.get("offsets", np.zeros(3)), np.float64)
+        if coexist <= 0.5:
+            out.append(det0)
+            for i in range(n - 1):
+                out.append(lerped(det0, (i + 1.0) / (n - 1), offsets,
+                                  det0["score"]))
+        else:
+            out.append(det0)
+            for i in range(n - 1):
+                out.append(copy.deepcopy(det0) if i < n / 2 else None)
+    assert len(out) == n
+    return out
+
+
+def interpolate_non_keyframes(dets0: List[Dict], dets1: List[Dict],
+                              num_frames: int,
+                              score_threshold: float = 0.1
+                              ) -> List[List[Dict]]:
+    """Full MoI: match keyframe detections, interpolate the gap.
+
+    Returns per-frame detection lists of length `num_frames`
+    (keyframes at both ends). Note: frame-tau outputs remain in frame-0
+    coordinates; callers needing per-frame ego coordinates apply
+    kitti.inverse_transform_labels (reference recovery_predictions:370).
+    """
+    if num_frames == 1:
+        return [dets0]
+    if num_frames == 2:
+        return [dets0, dets1]
+    k0 = [d for d in dets0 if d["score"] > score_threshold]
+    k1 = [d for d in dets1 if d["score"] > score_threshold]
+    frames: List[List[Dict]] = [[] for _ in range(num_frames)]
+    for det0, det1 in match_pairs(k0, k1):
+        slots = interpolate_pair(det0, det1, num_frames)
+        for i, obj in enumerate(slots):
+            if obj is not None:
+                frames[i].append(obj)
+    return frames

@@ -224,29 +224,35 @@ def test_balanced_sample_caps_positives():
 
 
 def test_assign_targets():
+    from dodt_tpu.ops import boxes as box_ops
     anchors_bev = jnp.array([[0, 0, 2, 2], [10, 10, 12, 12], [0, 0, 1, 1]],
                             jnp.float32)
+    anchors = jnp.array([[1.0, 0, 1, 2, 1.5, 2],
+                         [11.0, 0, 11, 2, 1.5, 2],
+                         [0.5, 0, 0.5, 1, 1.5, 1]], jnp.float32)
     gt_bev = jnp.array([[0, 0, 2, 2], [9, 9, 12, 12]], jnp.float32)
-    g, n = 2, 3
-    gt_offsets = jnp.arange(g * n * 6, dtype=jnp.float32).reshape(g, n, 6)
+    gt_anchors = jnp.array([[1.0, 0.1, 1, 2, 1.5, 2],
+                            [10.5, 0, 10.5, 3, 1.5, 3]], jnp.float32)
     gt_classes = jnp.array([1, 2], jnp.int32)
     gt_valid = jnp.array([True, True])
-    t = sampling.assign_targets(anchors_bev, gt_bev, gt_offsets,
+    t = sampling.assign_targets(anchors_bev, anchors, gt_bev, gt_anchors,
                                 gt_classes, gt_valid)
     assert list(np.array(t.gt_index)) == [0, 1, 0]
     assert list(np.array(t.class_idx)) == [1, 2, 1]
     np.testing.assert_allclose(np.array(t.max_iou)[0], 1.0)
-    # offsets taken from the matched GT row
-    np.testing.assert_allclose(np.array(t.offsets)[1],
-                               np.array(gt_offsets)[1, 1])
+    # offsets encoded against the matched GT
+    want = np.array(box_ops.anchor_to_offset(anchors[1:2], gt_anchors[1:2]))
+    np.testing.assert_allclose(np.array(t.offsets)[1], want[0], atol=1e-5)
 
 
 def test_assign_targets_invalid_gt_ignored():
     anchors_bev = jnp.array([[0, 0, 2, 2]], jnp.float32)
+    anchors = jnp.array([[1.0, 0, 1, 2, 1.5, 2]], jnp.float32)
     gt_bev = jnp.array([[0, 0, 2, 2], [0, 0, 2, 2]], jnp.float32)
-    gt_offsets = jnp.zeros((2, 1, 6))
+    gt_anchors = jnp.array([[1.0, 0, 1, 2, 1.5, 2],
+                            [1.0, 0, 1, 2, 1.5, 2]], jnp.float32)
     t = sampling.assign_targets(
-        anchors_bev, gt_bev, gt_offsets,
+        anchors_bev, anchors, gt_bev, gt_anchors,
         jnp.array([1, 2], jnp.int32), jnp.array([False, True]))
     assert list(np.array(t.gt_index)) == [1]
     assert list(np.array(t.class_idx)) == [2]
