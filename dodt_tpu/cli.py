@@ -1,0 +1,113 @@
+"""CLI entry points (reference avod/experiments/*).
+
+  python -m dodt_tpu.cli train --config cfg.json --ckpt_dir out/ckpt
+  python -m dodt_tpu.cli evaluate --config cfg.json --ckpt_dir out/ckpt
+  python -m dodt_tpu.cli infer --config cfg.json --ckpt_dir out/ckpt
+
+Mirrors run_tracking_training.py / run_tracking_evaluation.py /
+run_tracking_inference.py; single-frame and stride variants are
+selected by the config's model_name / data_stride.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _build(cfg_path, split):
+    from dodt_tpu.config import PipelineConfig, cars_dt_tracking
+    from dodt_tpu.data.tracking import KittiTrackingDataset
+    from dodt_tpu.data.clusters import get_clusters
+    from dodt_tpu.models.dt_avod import DtAvodNet
+
+    cfg = PipelineConfig.load(cfg_path) if cfg_path else cars_dt_tracking()
+    ds = KittiTrackingDataset(cfg.dataset, split=split)
+    clusters = get_clusters(ds, cfg)
+    model = DtAvodNet(cfg=cfg, cluster_sizes=clusters)
+    return cfg, ds, model
+
+
+def cmd_train(args):
+    from dodt_tpu.runtime.trainer import Trainer
+    from dodt_tpu.parallel.mesh import make_mesh
+    import jax
+
+    cfg, ds, model = _build(args.config, "train")
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(cfg, model, ds, args.ckpt_dir, mesh=mesh,
+                      batch_size=args.batch_size)
+    state, history = trainer.train(max_steps=args.max_steps)
+    print(json.dumps(history[-5:], indent=2))
+
+
+def cmd_evaluate(args):
+    from dodt_tpu.runtime.evaluator import Evaluator
+
+    cfg, ds, model = _build(args.config, args.split)
+    ev = Evaluator(cfg, model, ds, args.ckpt_dir, args.output_dir)
+    if args.repeat:
+        results = ev.repeated_checkpoint_run()
+    else:
+        results = [ev.run_checkpoint_once(args.step)]
+    print(json.dumps(results[-1], indent=2, default=float))
+
+
+def cmd_infer(args):
+    from dodt_tpu.runtime.evaluator import Evaluator
+    from dodt_tpu.runtime.trainer import CheckpointIO
+
+    cfg, ds, model = _build(args.config, args.split)
+    ev = Evaluator(cfg, model, ds, args.ckpt_dir, args.output_dir)
+    params = CheckpointIO(args.ckpt_dir).restore_params(args.step)
+    import time
+    times = []
+    for idx in range(min(len(ds.couples), args.max_samples)):
+        t0 = time.time()
+        ev.predict_couple(params, idx)
+        times.append(time.time() - t0)
+    times = np.array(times[1:])  # drop compile
+    print(json.dumps({
+        "mean_s": float(times.mean()), "median_s": float(np.median(times)),
+        "min_s": float(times.min()), "max_s": float(times.max()),
+        "fps_pairs": float(1.0 / times.mean()),
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("dodt_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--config", default=None)
+    t.add_argument("--ckpt_dir", required=True)
+    t.add_argument("--batch_size", type=int, default=1)
+    t.add_argument("--max_steps", type=int, default=None)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate")
+    e.add_argument("--config", default=None)
+    e.add_argument("--ckpt_dir", required=True)
+    e.add_argument("--output_dir", default="eval_out")
+    e.add_argument("--split", default="val")
+    e.add_argument("--step", type=int, default=None)
+    e.add_argument("--repeat", action="store_true")
+    e.set_defaults(fn=cmd_evaluate)
+
+    i = sub.add_parser("infer")
+    i.add_argument("--config", default=None)
+    i.add_argument("--ckpt_dir", required=True)
+    i.add_argument("--output_dir", default="infer_out")
+    i.add_argument("--split", default="val")
+    i.add_argument("--step", type=int, default=None)
+    i.add_argument("--max_samples", type=int, default=200)
+    i.set_defaults(fn=cmd_infer)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -327,17 +327,15 @@ def transform_points_to_prev_frame(pts_velo: np.ndarray, trans, matrix
 def transform_labels_to_prev_frame(labels: LabelArray, calib: FrameCalib,
                                    trans, matrix, delta_yaw) -> LabelArray:
     """Move frame-B labels into frame-A coordinates via 8-corner rotation
-    in velo space (reference label_transform:338-371)."""
-    from dodt_tpu.ops import boxes as box_ops
-    import jax.numpy as jnp
+    in velo space (reference label_transform:338-371). Pure numpy — the
+    host data path must never dispatch JAX ops."""
+    from dodt_tpu.utils.np_iou import box_3d_corners
 
     if len(labels) == 0:
         return labels
     out = labels.select(np.ones(len(labels), bool))
-    corners = np.array(box_ops.box_3d_to_corners(
-        jnp.asarray(labels.box_3d)))            # (N, 3, 8)
     for i in range(len(out)):
-        c = corners[i].T                         # (8, 3) cam frame
+        c = box_3d_corners(labels.box_3d[i])     # (8, 3) cam frame
         c_velo = calib.rect_to_velo(c)
         c_velo = (c_velo + trans) @ matrix
         c_cam = calib.velo_to_rect(c_velo)
@@ -352,17 +350,14 @@ def inverse_transform_labels(labels: LabelArray, calib: FrameCalib,
                              trans, matrix, delta_yaw) -> LabelArray:
     """Inverse of transform_labels_to_prev_frame (reference
     label_inverse_transform / recovery_t:372-398)."""
-    from dodt_tpu.ops import boxes as box_ops
-    import jax.numpy as jnp
+    from dodt_tpu.utils.np_iou import box_3d_corners
 
     if len(labels) == 0:
         return labels
     out = labels.select(np.ones(len(labels), bool))
     inv = np.linalg.inv(matrix)
-    corners = np.array(box_ops.box_3d_to_corners(
-        jnp.asarray(labels.box_3d)))
     for i in range(len(out)):
-        c = corners[i].T
+        c = box_3d_corners(labels.box_3d[i])
         c_velo = calib.rect_to_velo(c)
         c_velo = c_velo @ inv - trans
         c_cam = calib.velo_to_rect(c_velo)

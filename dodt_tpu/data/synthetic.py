@@ -137,10 +137,8 @@ class SyntheticScene:
             for cid, box in self.camera_boxes_at(frame):
                 x, y, z, l, w, h, ry = box
                 # project corners for the 2D bbox
-                from dodt_tpu.ops import boxes as box_ops
-                import jax.numpy as jnp
-                corners = np.array(box_ops.box_3d_to_corners(
-                    jnp.asarray(box[None]))).reshape(3, 8).T
+                from dodt_tpu.utils.np_iou import box_3d_corners
+                corners = box_3d_corners(box)
                 uv = _project(corners)
                 x1, y1 = uv.min(0)
                 x2, y2 = uv.max(0)

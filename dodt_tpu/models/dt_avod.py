@@ -38,7 +38,7 @@ from dodt_tpu.ops import sampling
 from dodt_tpu.ops.iou import aligned_iou_matrix
 from dodt_tpu.ops.anchors import (empty_anchor_mask, integral_image_2d,
                                   tile_anchors_3d)
-from dodt_tpu.ops.correlation import correlation
+from dodt_tpu.ops.correlation import correlation_cf
 from dodt_tpu.ops.projection import (project_to_bev,
                                      project_to_image_space,
                                      reorder_boxes_yx)
@@ -89,6 +89,25 @@ class Bottleneck(nn.Module):
         return nn.relu(x)
 
 
+class CorrBottleneck(nn.Module):
+    """1x1 bottleneck over a CHANNEL-FIRST correlation volume
+    (B, D^2, H, W) -> (B, H, W, channels). The contraction consumes the
+    Pallas kernel's channel-first layout directly — no materialized
+    transpose of the D^2 x H x W volume (dt_rpn_model.py:339-345
+    equivalent)."""
+    channels: int = 1
+
+    @nn.compact
+    def __call__(self, corr_cf):
+        k = corr_cf.shape[1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, self.channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        x = jnp.einsum("bkhw,kc->bhwc", corr_cf, kernel) + bias
+        x = nn.GroupNorm(num_groups=1)(x)
+        return nn.relu(x)
+
+
 class DtAvodNet(nn.Module):
     """Paired-frame (or single-frame) AVOD with correlation head."""
     cfg: PipelineConfig
@@ -114,7 +133,7 @@ class DtAvodNet(nn.Module):
                                          name="bev_bottleneck")
         self.img_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
                                          name="img_bottleneck")
-        self.corr_bottleneck = Bottleneck(1, name="bev_corr_bottleneck")
+        self.corr_bottleneck = CorrBottleneck(1, name="bev_corr_bottleneck")
         self.rpn_cls = MlpHead(m.rpn.cls_fc_sizes, 2, m.rpn.keep_prob,
                                name="rpn_cls")
         self.rpn_reg = MlpHead(m.rpn.reg_fc_sizes, 6, m.rpn.keep_prob,
@@ -260,10 +279,10 @@ class DtAvodNet(nn.Module):
 
         bev_feats_bf = bev_feats.reshape((b, f) + bev_feats.shape[1:])
         if self.num_frames == 2:
-            corr_vol = correlation(
+            corr_vol_cf = correlation_cf(
                 bev_feats_bf[:, 0], bev_feats_bf[:, 1],
                 m.correlation.max_displacement, m.correlation.stride_2)
-            corr_bottle = self.corr_bottleneck(corr_vol)  # (B, H, W, 1)
+            corr_bottle = self.corr_bottleneck(corr_vol_cf)  # (B, H, W, 1)
         else:
             corr_bottle = None
 

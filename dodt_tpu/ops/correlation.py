@@ -69,21 +69,27 @@ def correlation_xla(a: jnp.ndarray, b: jnp.ndarray, max_displacement: int,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _corr_kernel(a_ref, b_hbm, out_ref, b_scratch, sem, *, d: int,
-                 stride_2: int, tile_h: int, tile_w: int, c: int,
-                 pad: int):
-    """Compute all D^2 correlation channels for one spatial tile.
+def _corr_kernel_cf(a_ref, b_hbm, out_ref, b_scratch, sem, *, d: int,
+                    stride_2: int, tile_h: int, tile_w: int, c: int,
+                    pad: int, halo_r: int, halo_c: int):
+    """Channel-first correlation for one spatial tile.
 
-    a_ref:     (tile_h, tile_w, c) VMEM block of A.
-    b_hbm:     full padded B in HBM/ANY; the haloed window is DMA'd in.
-    out_ref:   (tile_h, tile_w, d*d) VMEM block.
-    b_scratch: (tile_h + 2*pad, tile_w + 2*pad, c) VMEM scratch.
+    a_ref:     (c, tile_h, tile_w) VMEM block of A.
+    b_hbm:     (c, Hp + 2*halo_r, Wp + 2*halo_c) padded B in HBM.
+    out_ref:   (d*d, tile_h, tile_w) VMEM block.
+    b_scratch: (c, tile_h + 2*halo_r, tile_w + 2*halo_c) VMEM.
+
+    Channel-first layout keeps the minor-most two dims spatial, so the
+    haloed DMA window is (8, 128)-tiling aligned: row starts i*tile_h
+    (tile_h % 8 == 0), col starts j*tile_w (tile_w % 128 == 0), window
+    shape (tile_h + 2*halo_r, tile_w + 2*halo_c) with halos that are
+    themselves multiples of (8, 128).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        b_hbm.at[pl.ds(i * tile_h, tile_h + 2 * pad),
-                 pl.ds(j * tile_w, tile_w + 2 * pad), :],
+        b_hbm.at[:, pl.ds(i * tile_h, tile_h + 2 * halo_r),
+                 pl.ds(j * tile_w, tile_w + 2 * halo_c)],
         b_scratch, sem)
     dma.start()
     dma.wait()
@@ -91,79 +97,113 @@ def _corr_kernel(a_ref, b_hbm, out_ref, b_scratch, sem, *, d: int,
     a = a_ref[...]
     inv_c = 1.0 / c
     for ky in range(d):
+        r0 = halo_r - pad + ky * stride_2
         for kx in range(d):
-            dy = ky * stride_2
-            dx = kx * stride_2
-            b_shift = b_scratch[dy:dy + tile_h, dx:dx + tile_w, :]
-            out_ref[:, :, ky * d + kx] = (
-                jnp.sum(a * b_shift, axis=-1) * inv_c)
+            c0 = halo_c - pad + kx * stride_2
+            b_shift = b_scratch[:, r0:r0 + tile_h, c0:c0 + tile_w]
+            out_ref[ky * d + kx] = jnp.sum(a * b_shift, axis=0) * inv_c
 
 
-def correlation_pallas(a: jnp.ndarray, b: jnp.ndarray,
-                       max_displacement: int, stride_2: int = 1,
-                       tile_h: int = 64, tile_w: int = 128
-                       ) -> jnp.ndarray:
-    """Pallas TPU correlation: one pass over tiles, halo DMA'd from HBM."""
+def correlation_pallas_cf(a: jnp.ndarray, b: jnp.ndarray,
+                          max_displacement: int, stride_2: int = 1,
+                          tile_h: int = 64, tile_w: int = 128
+                          ) -> jnp.ndarray:
+    """Pallas TPU correlation, channel-first output (D^2, H, W).
+
+    a, b: (H, W, C). The (D^2, H, W) output feeds the 1x1 corr
+    bottleneck as a contraction over D^2 without materializing a
+    transpose.
+    """
     h, w, c = a.shape
     radius, d = _disp_grid(max_displacement, stride_2)
     pad = max_displacement
+    halo_r = -(-pad // 8) * 8
+    halo_c = -(-pad // 128) * 128
 
-    # Pad spatial dims of A up to tile multiples; pad B by (pad + tile
-    # rounding) so each haloed window stays in range.
     gh = -(-h // tile_h)
     gw = -(-w // tile_w)
     ph = gh * tile_h - h
     pw = gw * tile_w - w
-    a_p = jnp.pad(a, ((0, ph), (0, pw), (0, 0)))
-    b_p = jnp.pad(b, ((pad, pad + ph), (pad, pad + pw), (0, 0)))
+
+    a_t = jnp.moveaxis(a, -1, 0)   # (C, H, W)
+    b_t = jnp.moveaxis(b, -1, 0)
+    a_p = jnp.pad(a_t, ((0, 0), (0, ph), (0, pw)))
+    b_p = jnp.pad(b_t, ((0, 0), (halo_r, halo_r + ph),
+                        (halo_c, halo_c + pw)))
 
     out = pl.pallas_call(
-        functools.partial(_corr_kernel, d=d, stride_2=stride_2,
-                          tile_h=tile_h, tile_w=tile_w, c=c, pad=pad),
+        functools.partial(_corr_kernel_cf, d=d, stride_2=stride_2,
+                          tile_h=tile_h, tile_w=tile_w, c=c, pad=pad,
+                          halo_r=halo_r, halo_c=halo_c),
         grid=(gh, gw),
         in_specs=[
-            pl.BlockSpec((tile_h, tile_w, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((c, tile_h, tile_w), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((tile_h, tile_w, d * d),
-                               lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((d * d, tile_h, tile_w),
+                               lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gh * tile_h, gw * tile_w, d * d),
+        out_shape=jax.ShapeDtypeStruct((d * d, gh * tile_h, gw * tile_w),
                                        a.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * pad, tile_w + 2 * pad, c), a.dtype),
+            pltpu.VMEM((c, tile_h + 2 * halo_r, tile_w + 2 * halo_c),
+                       a.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(a_p, b_p)
-    return out[:h, :w, :]
+    return out[:, :h, :w]
+
+
+def correlation_xla_cf(a, b, max_displacement, stride_2=1):
+    """Channel-first XLA twin of correlation_pallas_cf."""
+    return jnp.moveaxis(
+        correlation_xla(a, b, max_displacement, stride_2), -1, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _correlation_tpu(a, b, max_displacement, stride_2):
-    return correlation_pallas(a, b, max_displacement, stride_2)
+def _correlation_tpu_cf(a, b, max_displacement, stride_2):
+    return correlation_pallas_cf(a, b, max_displacement, stride_2)
 
 
-def _correlation_tpu_fwd(a, b, max_displacement, stride_2):
-    return correlation_pallas(a, b, max_displacement, stride_2), (a, b)
+def _correlation_tpu_cf_fwd(a, b, max_displacement, stride_2):
+    return correlation_pallas_cf(a, b, max_displacement, stride_2), (a, b)
 
 
-def _correlation_tpu_bwd(max_displacement, stride_2, res, g):
+def _correlation_tpu_cf_bwd(max_displacement, stride_2, res, g):
     a, b = res
     # Backward through the (mathematically identical) XLA formulation:
     # same FLOP count as forward, keeps the Pallas kernel forward-only.
     _, vjp = jax.vjp(
-        lambda x, y: correlation_xla(x, y, max_displacement, stride_2), a, b)
+        lambda x, y: correlation_xla_cf(x, y, max_displacement, stride_2),
+        a, b)
     return vjp(g)
 
 
-_correlation_tpu.defvjp(_correlation_tpu_fwd, _correlation_tpu_bwd)
+_correlation_tpu_cf.defvjp(_correlation_tpu_cf_fwd, _correlation_tpu_cf_bwd)
+
+
+def correlation_cf(a: jnp.ndarray, b: jnp.ndarray, max_displacement: int,
+                   stride_2: int = 1, use_pallas: bool | None = None
+                   ) -> jnp.ndarray:
+    """Channel-first correlation (..., D^2, H, W) with automatic backend
+    choice. Batched inputs (..., H, W, C) are vmapped."""
+    if a.ndim > 3:
+        fn = functools.partial(correlation_cf,
+                               max_displacement=max_displacement,
+                               stride_2=stride_2, use_pallas=use_pallas)
+        return jax.vmap(fn)(a, b)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas:
+        return _correlation_tpu_cf(a, b, max_displacement, stride_2)
+    return correlation_xla_cf(a, b, max_displacement, stride_2)
 
 
 def correlation(a: jnp.ndarray, b: jnp.ndarray, max_displacement: int,
                 stride_2: int = 1, use_pallas: bool | None = None
                 ) -> jnp.ndarray:
-    """Correlation with automatic backend choice. Batched inputs
+    """Reference-layout correlation (..., H, W, D^2). Batched inputs
     (..., H, W, C) are vmapped."""
     if a.ndim > 3:
         fn = functools.partial(correlation, max_displacement=max_displacement,
@@ -172,5 +212,6 @@ def correlation(a: jnp.ndarray, b: jnp.ndarray, max_displacement: int,
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
     if use_pallas:
-        return _correlation_tpu(a, b, max_displacement, stride_2)
+        return jnp.moveaxis(
+            _correlation_tpu_cf(a, b, max_displacement, stride_2), 0, -1)
     return correlation_xla(a, b, max_displacement, stride_2)

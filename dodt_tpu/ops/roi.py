@@ -50,24 +50,14 @@ def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
     y1i = jnp.minimum(y0 + 1, h - 1)
     x1i = jnp.minimum(x0 + 1, w - 1)
 
-    # Gather 4 corners: rows (N, S, W, C) then cols (N, S, S, C)
-    top = image[y0]                                # (N, S, W, C)
-    bot = image[y1i]
-    cols0 = x0[:, None, :, None]                   # (N, 1, S, 1)
-    cols1 = x1i[:, None, :, None]
-    c = image.shape[-1]
+    def gather(yi, xi):
+        # direct 2D gather -> (N, S, S, C); no (N, S, W, C) intermediate
+        return image[yi[:, :, None], xi[:, None, :]]
 
-    def gather_cols(rowfeat, cols):
-        # rowfeat (N, S, W, C), cols (N, 1, S, 1) -> (N, S, S, C)
-        idx = jnp.broadcast_to(cols, (cols.shape[0], s, s, 1))
-        return jnp.take_along_axis(
-            rowfeat, jnp.broadcast_to(idx, (cols.shape[0], s, s, c)),
-            axis=2)
-
-    tl = gather_cols(top, cols0)
-    tr = gather_cols(top, cols1)
-    bl = gather_cols(bot, cols0)
-    br = gather_cols(bot, cols1)
+    tl = gather(y0, x0)
+    tr = gather(y0, x1i)
+    bl = gather(y1i, x0)
+    br = gather(y1i, x1i)
 
     top_i = tl + (tr - tl) * x_frac
     bot_i = bl + (br - bl) * x_frac

@@ -1,0 +1,212 @@
+"""Evaluation runtime: checkpoint -> predictions -> AP + MOT metrics.
+
+Replaces the reference DtEvaluator (dt_evaluator.py:38): per-checkpoint
+loop over validation couples, KITTI-format prediction files per frame,
+detection AP via eval/kitti_ap, tracking via the IoU tracker + MoI,
+MOT metrics via tracking/mot_eval. `repeated_checkpoint_run` keeps the
+reference's poll-the-checkpoint-dir concurrency model
+(dt_evaluator.py:461-533).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dodt_tpu.config import PipelineConfig
+from dodt_tpu.data import kitti
+from dodt_tpu.eval import decode as decode_lib
+from dodt_tpu.eval import kitti_ap, kitti_writer
+from dodt_tpu.runtime.trainer import CheckpointIO
+from dodt_tpu.tracking import iou_tracker, moi, mot_eval
+
+
+class Evaluator:
+    def __init__(self, cfg: PipelineConfig, model, dataset,
+                 ckpt_dir: str, output_dir: str):
+        self.cfg = cfg
+        self.model = model
+        self.dataset = dataset
+        self.ckpt = CheckpointIO(ckpt_dir)
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self._apply = jax.jit(model.apply,
+                              static_argnames=("train", "mode"))
+        self._evaluated: set = set()
+
+    # ---------------------------------------------------------- core
+
+    def predict_couple(self, params, idx: int) -> Dict:
+        """Run the model on one val couple; return per-frame detection
+        dicts in frame-0 coordinates."""
+        sample = self.dataset.load_couple(idx, augs=())
+        batch = {k: jnp.asarray(v)[None] for k, v in sample.items()
+                 if isinstance(v, np.ndarray)}
+        out = self._apply({"params": params}, batch, train=False,
+                          mode="val")
+        thr = self.cfg.eval.kitti_score_threshold
+        dets = []
+        for f in range(2):
+            corr = (np.array(out["final_corr_offsets"][0])
+                    if f == 0 and "final_corr_offsets" in out else None)
+            dets.append(decode_lib.outputs_to_detections(
+                np.array(out["final_boxes_3d"][0, f]),
+                np.array(out["final_orientations"][0, f]),
+                np.array(out["final_scores"][0, f]),
+                np.array(out["final_cls_softmax"][0, f]),
+                np.array(out["final_valid"][0, f]),
+                corr_offsets=corr,
+                score_threshold=thr))
+        return {"sample": sample, "dets": dets,
+                "couple": self.dataset.couples[idx]}
+
+    def run_checkpoint_once(self, step: Optional[int] = None) -> Dict:
+        params = self.ckpt.restore_params(step)
+        if params is None:
+            raise FileNotFoundError("no checkpoint")
+        step = step if step is not None else self.ckpt.latest_step()
+
+        pred_dir = os.path.join(self.output_dir,
+                                f"predictions_{step}", "data")
+        os.makedirs(pred_dir, exist_ok=True)
+
+        # per-video collections for tracking
+        video_dets: Dict[int, Dict[int, List]] = defaultdict(dict)
+        gts: List[kitti_ap.FrameGt] = []
+        det_frames: List[kitti_ap.FrameDet] = []
+
+        for idx in range(len(self.dataset.couples)):
+            cp = self.dataset.couples[idx]
+            res = self.predict_couple(params, idx)
+            dets0 = res["dets"][0]
+            calib = self.dataset.calib(cp.video_id)
+            img_size = (int(res["sample"]["orig_image_shape"][1]),
+                        int(res["sample"]["orig_image_shape"][0]))
+
+            # ---- detection AP bookkeeping (frame 0 only, like
+            # dt_evaluator.py:296-300)
+            labels = self.dataset.labels(cp.video_id, cp.frame_a)
+            gts.append(kitti_ap.FrameGt.from_labels(labels))
+            det_frames.append(self._frame_det(dets0, calib, img_size))
+
+            # ---- KITTI txt files
+            lines = self._kitti_lines(dets0, calib, img_size)
+            kitti_writer.write_kitti_file(
+                os.path.join(pred_dir,
+                             f"{cp.video_id:02d}{cp.frame_a:04d}.txt"),
+                lines)
+
+            video_dets[cp.video_id][cp.frame_a] = dets0
+
+        # ---- AP
+        ap = {}
+        for metric, name in (("image", "AP_2D"), ("ground", "AP_BEV"),
+                             ("3d", "AP_3D")):
+            ap[name] = kitti_ap.evaluate_ap(
+                gts, det_frames, self.cfg.dataset.classes[0], metric,
+                0.7 if self.cfg.dataset.classes[0] == "Car" else 0.5)
+
+        # ---- tracking
+        mot = self._run_tracking(video_dets)
+
+        results = {"step": int(step), "ap": ap, "mot": mot}
+        with open(os.path.join(self.output_dir,
+                               f"results_{step}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        self._evaluated.add(int(step))
+        return results
+
+    def _frame_det(self, dets, calib, img_size) -> kitti_ap.FrameDet:
+        boxes, bbs, scores, types = [], [], [], []
+        for d in dets:
+            bb = kitti_writer.project_box_to_image(d["box_3d"], calib,
+                                                   img_size)
+            if bb is None:
+                continue
+            boxes.append(d["box_3d"])
+            bbs.append(bb)
+            scores.append(d["score"])
+            types.append(self.cfg.dataset.classes[d["class_idx"]])
+        if not boxes:
+            return kitti_ap.FrameDet(np.zeros((0, 7)), np.zeros((0, 4)),
+                                     np.zeros(0), [])
+        return kitti_ap.FrameDet(np.stack(boxes), np.stack(bbs),
+                                 np.asarray(scores), types)
+
+    def _kitti_lines(self, dets, calib, img_size):
+        if not dets:
+            return []
+        boxes = np.stack([d["box_3d"] for d in dets])
+        scores = np.array([d["score"] for d in dets])
+        cls = np.array([d["class_idx"] for d in dets])
+        return kitti_writer.predictions_to_kitti_lines(
+            boxes, scores, cls, calib, img_size,
+            classes=self.cfg.dataset.classes,
+            score_threshold=self.cfg.eval.kitti_score_threshold)
+
+    def _run_tracking(self, video_dets) -> Dict:
+        ev = self.cfg.eval
+        all_results = {}
+        for vid, frames in video_dets.items():
+            order = sorted(frames)
+            dets_seq = [[d for d in frames[f]
+                         if d["score"] >= ev.track_lth] for f in order]
+            tracks = iou_tracker.track_through_ious(
+                dets_seq, ev.track_hth, ev.track_liou, ev.track_tmin)
+            # score vs GT tracking labels
+            calib = self.dataset.calib(vid)
+            gt_frames, pred_frames = [], []
+            for fi, f in enumerate(order):
+                lab = self.dataset.labels(vid, f)
+                gt_frames.append({"ids": list(lab.track_ids),
+                                  "boxes": list(lab.bbox_2d)})
+                ids, boxes = [], []
+                for tid, tr in enumerate(tracks):
+                    if fi in tr["frames"]:
+                        det = tr["trajectory"][tr["frames"].index(fi)]
+                        bb = kitti_writer.project_box_to_image(
+                            det["box_3d"], calib, (10000, 10000))
+                        if bb is not None:
+                            ids.append(tid)
+                            boxes.append(bb)
+                pred_frames.append({"ids": ids, "boxes": boxes})
+            all_results[vid] = mot_eval.evaluate_tracking(
+                gt_frames, pred_frames)
+        if all_results:
+            keys = next(iter(all_results.values())).keys()
+            all_results["overall"] = {
+                k: float(np.mean([v[k] for kk, v in all_results.items()
+                                  if kk != "overall"])) for k in keys}
+        return all_results
+
+    # ------------------------------------------------------- polling
+
+    def run_latest_checkpoints(self):
+        results = []
+        for step in self.ckpt.all_steps():
+            if step not in self._evaluated:
+                results.append(self.run_checkpoint_once(step))
+        return results
+
+    def repeated_checkpoint_run(self, max_wait_rounds: int = 10000,
+                                stop_at_step: Optional[int] = None):
+        """Poll the checkpoint dir like the reference evaluator
+        (dt_evaluator.py:461: poll every eval_wait_interval seconds,
+        skip already-evaluated checkpoints)."""
+        interval = self.cfg.eval.eval_wait_interval
+        results = []
+        for _ in range(max_wait_rounds):
+            new = self.run_latest_checkpoints()
+            results.extend(new)
+            if stop_at_step is not None and \
+                    any(r["step"] >= stop_at_step for r in results):
+                break
+            if not new:
+                time.sleep(interval)
+        return results

@@ -95,6 +95,18 @@ def three_d_iou(box_a, boxes_b) -> np.ndarray:
     return out
 
 
+def box_3d_corners(box_3d: np.ndarray) -> np.ndarray:
+    """box_3d (7,) -> (8, 3) corners, numpy (host-side twin of
+    ops/boxes.box_3d_to_corners; bottom face first)."""
+    x, y, z, l, w, h, ry = box_3d[:7]
+    c, s = np.cos(ry), np.sin(ry)
+    xc = np.array([l, l, -l, -l, l, l, -l, -l]) / 2.0
+    zc = np.array([w, -w, -w, w, w, -w, -w, w]) / 2.0
+    yc = np.array([0, 0, 0, 0, -h, -h, -h, -h])
+    return np.stack([c * xc + s * zc + x, yc + y,
+                     -s * xc + c * zc + z], axis=1)
+
+
 def aligned_iou_2d(box_a, boxes_b) -> np.ndarray:
     """[x1, y1, x2, y2] vs (M, 4)."""
     boxes_b = np.atleast_2d(boxes_b)
