@@ -218,3 +218,52 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
         with open(os.path.join(root, split + ".txt"), "w") as f:
             f.write(split_text)
     return root
+
+
+def write_detection_fixture(root: str, num_frames: int = 6,
+                            seed: int = 0) -> str:
+    """Write a synthetic single-frame KITTI *object* dataset under
+    `root` (velodyne/image_2/calib/label_2/planes + split txts)."""
+    import cv2
+
+    base = os.path.join(root, "training")
+    for sub in ("velodyne", "image_2", "calib", "label_2", "planes"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    scene = SyntheticScene(0, num_frames, seed=seed, ego_speed=0.0)
+    names = []
+    for frame in range(num_frames):
+        name = f"{frame:06d}"
+        names.append(name)
+        scene.point_cloud_at(frame).tofile(
+            os.path.join(base, "velodyne", name + ".bin"))
+        img = np.full((_IMG_H, _IMG_W, 3), 96, np.uint8)
+        cv2.imwrite(os.path.join(base, "image_2", name + ".png"), img)
+        with open(os.path.join(base, "calib", name + ".txt"), "w") as f:
+            f.write(_calib_text())
+        with open(os.path.join(base, "planes", name + ".txt"), "w") as f:
+            f.write("# Plane\nWidth 4\nHeight 1\n"
+                    f"0.0 -1.0 0.0 {GROUND_Y}\n")
+        # single-frame labels (no frame/track columns)
+        lines = []
+        for cid, box in scene.camera_boxes_at(frame):
+            x, y, z, l, w, h, ry = box
+            from dodt_tpu.utils.np_iou import box_3d_corners
+            uv = _project(box_3d_corners(box))
+            x1, y1 = uv.min(0)
+            x2, y2 = uv.max(0)
+            x1, x2 = np.clip([x1, x2], 0, _IMG_W)
+            y1, y2 = np.clip([y1, y2], 0, _IMG_H)
+            alpha = ry - np.arctan2(x, z)
+            lines.append(
+                f"Car 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} "
+                f"{y2:.2f} {h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} "
+                f"{z:.2f} {ry:.2f}")
+        with open(os.path.join(base, "label_2", name + ".txt"),
+                  "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    for split in ("train", "val", "trainval", "test"):
+        with open(os.path.join(root, split + ".txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return root

@@ -278,7 +278,7 @@ class DtAvodNet(nn.Module):
         }
 
         bev_feats_bf = bev_feats.reshape((b, f) + bev_feats.shape[1:])
-        if self.num_frames == 2:
+        if f == 2:
             corr_vol_cf = correlation_cf(
                 bev_feats_bf[:, 0], bev_feats_bf[:, 1],
                 m.correlation.max_displacement, m.correlation.stride_2)
