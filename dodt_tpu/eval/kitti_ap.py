@@ -112,14 +112,61 @@ def _det_height_ok(det: FrameDet, difficulty: int) -> np.ndarray:
 def evaluate_ap(gts: List[FrameGt], dets: List[FrameDet],
                 current_class: str = "Car",
                 metric: str = "3d",
-                min_iou: float = 0.7) -> Dict[str, float]:
-    """Returns AP (in %) per difficulty {easy, moderate, hard}."""
+                min_iou: float = 0.7,
+                use_native: bool | None = None) -> Dict[str, float]:
+    """Returns AP (in %) per difficulty {easy, moderate, hard}.
+
+    Dispatches to the C++ evaluator (native/kitti_ap.cpp) when built;
+    the Python path below is the specification / test oracle.
+    """
+    if use_native is None:
+        from dodt_tpu import native
+        use_native = native.available()
     results = {}
     names = {0: "easy", 1: "moderate", 2: "hard"}
     for difficulty in (0, 1, 2):
-        results[names[difficulty]] = _eval_one(
+        fn = _eval_one_native if use_native else _eval_one
+        results[names[difficulty]] = fn(
             gts, dets, current_class, metric, min_iou, difficulty)
     return results
+
+
+def _eval_one_native(gts, dets, current_class, metric, min_iou,
+                     difficulty):
+    from dodt_tpu import native
+
+    gt_counts, det_counts = [], []
+    gt_boxes7, gt_bbox4, gt_kind = [], [], []
+    det_boxes7, det_bbox4, det_scores, det_is_class = [], [], [], []
+    for gt, det in zip(gts, dets):
+        gt_counts.append(len(gt.boxes_3d))
+        det_counts.append(len(det.boxes_3d))
+        gt_boxes7.append(np.asarray(gt.boxes_3d, np.float64).reshape(-1, 7))
+        gt_bbox4.append(np.asarray(gt.bbox_2d, np.float64).reshape(-1, 4))
+        gt_kind.append(_classify_gt(gt, current_class, difficulty))
+        det_boxes7.append(np.asarray(det.boxes_3d,
+                                     np.float64).reshape(-1, 7))
+        det_bbox4.append(np.asarray(det.bbox_2d,
+                                    np.float64).reshape(-1, 4))
+        det_scores.append(np.asarray(det.scores, np.float64))
+        det_is_class.append(np.array(
+            [t == current_class for t in det.types], np.int32))
+
+    def cat(parts, width):
+        if not parts:
+            return np.zeros((0, width))
+        return np.concatenate([p.reshape(-1, width) for p in parts])
+
+    return native.kitti_ap_native(
+        np.asarray(gt_counts, np.int32), cat(gt_boxes7, 7),
+        cat(gt_bbox4, 4),
+        np.concatenate(gt_kind) if gt_kind else np.zeros(0, np.int32),
+        np.asarray(det_counts, np.int32), cat(det_boxes7, 7),
+        cat(det_bbox4, 4),
+        np.concatenate(det_scores) if det_scores else np.zeros(0),
+        np.concatenate(det_is_class) if det_is_class
+        else np.zeros(0, np.int32),
+        metric, min_iou, DIFFICULTY[difficulty][0])
 
 
 def _eval_one(gts, dets, current_class, metric, min_iou, difficulty):
