@@ -66,7 +66,11 @@ class Evaluator:
         return {"sample": sample, "dets": dets,
                 "couple": self.dataset.couples[idx]}
 
-    def run_checkpoint_once(self, step: Optional[int] = None) -> Dict:
+    def run_checkpoint_once(self, step: Optional[int] = None,
+                            interpolate: bool = False) -> Dict:
+        """Evaluate one checkpoint. With `interpolate=True` and a data
+        stride tau > 1, MoI fills the tau-1 non-keyframes per couple and
+        writes per-frame files (reference DtEvaluatorStride)."""
         params = self.ckpt.restore_params(step)
         if params is None:
             raise FileNotFoundError("no checkpoint")
@@ -103,6 +107,23 @@ class Evaluator:
                 lines)
 
             video_dets[cp.video_id][cp.frame_a] = dets0
+
+            # ---- MoI: synthesize the tau-1 intermediate frames
+            if interpolate and cp.frame_b > cp.frame_a + 1:
+                tau = cp.frame_b - cp.frame_a
+                frames = moi.interpolate_non_keyframes(
+                    dets0, res["dets"][1], tau + 1,
+                    self.cfg.eval.kitti_score_threshold)
+                for off in range(1, tau):
+                    frame_no = cp.frame_a + off
+                    lines = self._kitti_lines(frames[off], calib,
+                                              img_size)
+                    kitti_writer.write_kitti_file(
+                        os.path.join(
+                            pred_dir,
+                            f"{cp.video_id:02d}{frame_no:04d}.txt"),
+                        lines)
+                    video_dets[cp.video_id][frame_no] = frames[off]
 
         # ---- AP
         ap = {}

@@ -1,0 +1,103 @@
+import numpy as np
+
+from dodt_tpu.runtime import video
+from dodt_tpu.utils import format_checker, metrics
+
+
+def det(x, z, frame, score=0.9, offsets=(0, 2.0, 0)):
+    # ry = pi/2: car heading along +z (it moves in z below)
+    return {"frame_id": frame,
+            "box_3d": np.array([x, 1.6, z, 3.9, 1.6, 1.5, np.pi / 2]),
+            "bbox_2d": np.array([100.0, 100, 180, 160]),
+            "score": score, "type": "Car",
+            "offsets": np.asarray(offsets, float), "coexist": 1.0}
+
+
+def make_video(stride=3, n_keyframes=4):
+    frames = {}
+    for k in range(n_keyframes):
+        f = k * stride
+        frames[f] = [det(0.0, 10.0 + 2.0 * k, f,
+                         offsets=(0, 2.0, 0))]
+    return {0: frames}
+
+
+def test_video_iou_pipeline_interpolates():
+    vd = make_video(stride=3)
+    lines = video.run_video_pipeline(vd, tracker="iou", stride=3,
+                                     sigma_h=0.3, t_min=1)
+    rows = [l.split() for l in lines[0]]
+    frames = sorted(int(r[0]) for r in rows)
+    # keyframes 0,3,6,9 plus interpolated 1,2,4,5,7,8
+    assert frames == list(range(10))
+    # all one track id
+    assert len(set(r[1] for r in rows)) == 1
+    # z advances ~2/3 m per frame
+    zs = [float(r[15]) for r in sorted(rows, key=lambda r: int(r[0]))]
+    dz = np.diff(zs)
+    np.testing.assert_allclose(dz, 2.0 / 3, atol=1e-3)  # 4-dp output
+
+
+def test_video_kf_pipeline():
+    vd = make_video(stride=1, n_keyframes=6)
+    lines = video.run_video_pipeline(vd, tracker="kf", stride=1,
+                                     t_min=2)
+    assert len(lines[0]) == 6
+    assert len(set(l.split()[1] for l in lines[0])) == 1
+
+
+def test_load_kitti_detections_roundtrip(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "010002.txt").write_text(
+        "Car -1 -1 -10 100.0 100.0 180.0 160.0 "
+        "1.5 1.6 3.9 0.0 1.6 10.0 0.1 0.9\n")
+    out = video.load_kitti_detections(str(d))
+    assert 1 in out and 2 in out[1]
+    det0 = out[1][2][0]
+    np.testing.assert_allclose(det0["box_3d"],
+                               [0.0, 1.6, 10.0, 3.9, 1.6, 1.5, 0.1])
+    assert det0["score"] == 0.9
+
+
+def test_format_checker():
+    import pytest
+    format_checker.check_box_3d(np.zeros((4, 7)))
+    with pytest.raises(format_checker.FormatError):
+        format_checker.check_box_3d(np.zeros((4, 6)))
+    bad = np.zeros((1, 7))
+    bad[0, 3] = -1
+    with pytest.raises(format_checker.FormatError):
+        format_checker.check_box_3d(bad)
+    format_checker.check_anchor(np.ones((2, 6)))
+    with pytest.raises(format_checker.FormatError):
+        format_checker.check_anchor(np.zeros((2, 6)))  # zero dims
+    format_checker.check_box_8c(np.zeros((5, 3, 8)))
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    log = metrics.MetricsLogger(path)
+    log.log(1, loss=0.5)
+    log.log(2, loss=0.25, lr=1e-4)
+    import json
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[1]["loss"] == 0.25
+    stats = metrics.latency_stats([0.1, 0.2, 0.3])
+    assert abs(stats["mean_s"] - 0.2) < 1e-9
+    assert abs(stats["fps"] - 5.0) < 1e-6
+
+
+def test_viz_smoke(tmp_path):
+    from dodt_tpu import viz
+    bev = np.random.rand(70, 80, 6).astype(np.float32)
+    boxes = np.array([[0.0, 1.6, 3.0, 3.9, 1.6, 1.5, 0.3]])
+    p = viz.draw_bev(bev, [[-4, 4], [-3, 3], [0, 7]],
+                     gt_boxes=boxes, pred_boxes=boxes,
+                     scores=[0.9], path=str(tmp_path / "bev.png"))
+    import os
+    assert os.path.getsize(p) > 1000
+    img = np.zeros((100, 300, 3), np.uint8)
+    p2 = viz.draw_image_boxes(img, [(10, 10, 60, 60)], [0.5],
+                              path=str(tmp_path / "img.png"))
+    assert os.path.getsize(p2) > 500
