@@ -380,6 +380,187 @@ class DtAvodNet(nn.Module):
         return out
 
 
+    # ------------------------------------------------------------------
+    # Streaming interface: per-frame encode + pair stage. Keeps frame-t
+    # tower features and proposals resident on device so only the NEW
+    # frame is encoded per step (north-star requirement, SURVEY.md
+    # section 7 stage 8; replaces run_inference_by_one's full-pair
+    # recompute). Mirrors __call__'s math in eval mode (no path drop /
+    # dropout); the equivalence is pinned by tests/test_streaming.py.
+    # ------------------------------------------------------------------
+
+    def encode_frame(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Encode ONE frame (batch axis 1): towers + RPN proposals.
+
+        batch: points (1, P, 3), points_valid (1, P),
+               image (1, Hi, Wi, 3), ground_plane (1, 4), p2 (1, 3, 4),
+               orig_image_shape (1, 2).
+        Returns a FrameState dict of device arrays.
+        """
+        cfg = self.cfg
+        ku = cfg.dataset.kitti_utils
+        m = cfg.model
+        area = np.asarray(ku.area_extents, np.float32)
+        bev_extents = np.asarray(ku.bev_extents, np.float32)
+        bg = ku.bev_generator
+
+        maps = jax.vmap(functools.partial(
+            bev_maps_from_points, area_extents=area,
+            voxel_size=ku.voxel_size, height_lo=bg.height_lo,
+            height_hi=bg.height_hi, num_slices=bg.num_slices))(
+            batch["points"], batch["points_valid"],
+            batch["ground_plane"])
+
+        sizes = np.asarray(self.cluster_sizes, np.float32)
+        anchors = jax.vmap(lambda gp: box_ops.box_3d_to_anchor(
+            tile_anchors_3d(area, sizes, ku.anchor_strides, gp)))(
+                batch["ground_plane"])
+        integral = jax.vmap(integral_image_2d)(maps.occupancy)
+        anchor_valid = jax.vmap(
+            lambda ii, anc: empty_anchor_mask(
+                ii, anc, bev_extents, ku.voxel_size,
+                ku.density_threshold))(integral, anchors)
+
+        bev_feats = self.bev_tower(maps.features).astype(jnp.float32)
+        img_feats = self.img_tower(
+            preprocess_image(batch["image"])).astype(jnp.float32)
+        bev_bottle = self.bev_bottleneck(bev_feats)
+        img_bottle = self.img_bottleneck(img_feats)
+
+        n_anchors = anchors.shape[1]
+        _, bev_norm = project_to_bev(anchors, bev_extents)
+        img_shapes = batch["orig_image_shape"].astype(jnp.float32)
+        _, img_norm = jax.vmap(project_to_image_space)(
+            anchors, batch["p2"], img_shapes)
+        crop = functools.partial(crop_and_resize,
+                                 crop_size=m.rpn.proposal_roi_crop_size)
+        bev_rois = jax.vmap(crop)(bev_bottle, reorder_boxes_yx(bev_norm))
+        img_rois = jax.vmap(crop)(img_bottle, reorder_boxes_yx(img_norm))
+        fused = (bev_rois + img_rois) / 2.0
+        b = fused.shape[0]
+        flat = fused.reshape(b * n_anchors, -1)
+        objectness = self.rpn_cls(flat, False).reshape(b, n_anchors, 2)
+        rpn_offsets = self.rpn_reg(flat, False).reshape(b, n_anchors, 6)
+
+        proposals = box_ops.offset_to_anchor(anchors, rpn_offsets)
+        _, prop_bev_norm = project_to_bev(proposals, bev_extents)
+        obj_scores = jax.nn.softmax(objectness, axis=-1)[..., 1]
+        obj_scores = jnp.where(anchor_valid, obj_scores, -1.0)
+        k_rpn = m.rpn.test_nms_size
+        pre_k = min(4 * k_rpn, n_anchors)
+
+        def rpn_nms(boxes_norm, scores, valid):
+            cand_idx, cand_valid = nms_ops.top_k_prefilter(
+                jnp.where(valid, scores, -1e9), valid, pre_k)
+            keep, keep_valid = nms_ops.nms_bev(
+                boxes_norm[cand_idx], scores[cand_idx], cand_valid,
+                k_rpn, m.rpn.nms_iou_thresh)
+            return cand_idx[keep], keep_valid
+
+        top_idx, top_valid = jax.vmap(rpn_nms)(
+            prop_bev_norm, obj_scores, anchor_valid)
+        top_anchors = jnp.take_along_axis(proposals,
+                                          top_idx[..., None], axis=1)
+        return {
+            "bev_feats": bev_feats, "img_feats": img_feats,
+            "top_anchors": top_anchors, "top_valid": top_valid,
+            "ground_plane": batch["ground_plane"], "p2": batch["p2"],
+            "orig_image_shape": batch["orig_image_shape"],
+        }
+
+    def pair_stage(self, state_a: Dict[str, Any],
+                   state_b: Dict[str, Any]) -> Dict[str, Any]:
+        """Second stage over a cached frame pair (eval mode)."""
+        cfg = self.cfg
+        ku = cfg.dataset.kitti_utils
+        m = cfg.model
+        bev_extents = np.asarray(ku.bev_extents, np.float32)
+
+        corr_vol_cf = correlation_cf(
+            state_a["bev_feats"], state_b["bev_feats"],
+            m.correlation.max_displacement, m.correlation.stride_2)
+        corr_bottle = self.corr_bottleneck(corr_vol_cf)
+
+        top_anchors = jnp.stack(
+            [state_a["top_anchors"], state_b["top_anchors"]], axis=1)
+        top_valid = jnp.stack(
+            [state_a["top_valid"], state_b["top_valid"]], axis=1)
+        b, f, k = top_anchors.shape[0:3]
+        gp = state_a["ground_plane"]
+        img_shapes = state_a["orig_image_shape"].astype(jnp.float32)
+
+        _, ss_bev_norm = project_to_bev(top_anchors, bev_extents)
+        _, ss_img_norm = jax.vmap(
+            lambda anc, p2, sh: project_to_image_space(
+                anc.reshape(-1, 6), p2, sh))(
+                top_anchors.reshape(b, -1, 6), state_a["p2"],
+                img_shapes)
+        ss_img_norm = ss_img_norm.reshape(b, f, -1, 4)
+        ss_bev_yx = reorder_boxes_yx(ss_bev_norm)
+        ss_img_yx = reorder_boxes_yx(ss_img_norm)
+
+        crop2 = functools.partial(crop_and_resize,
+                                  crop_size=m.avod.proposal_roi_crop_size)
+        bev_feats_bf = jnp.stack(
+            [state_a["bev_feats"], state_b["bev_feats"]], axis=1)
+        img_feats_bf = jnp.stack(
+            [state_a["img_feats"], state_b["img_feats"]], axis=1)
+        ss_bev_rois = jax.vmap(jax.vmap(crop2))(bev_feats_bf, ss_bev_yx)
+        ss_img_rois = jax.vmap(jax.vmap(crop2))(img_feats_bf, ss_img_yx)
+        ss_fused = (ss_bev_rois + ss_img_rois) / 2.0
+
+        cls_logits, box_offsets, angle_vecs = self.avod_trunk(
+            ss_fused.reshape(b * f * k, -1), False)
+        cls_logits = cls_logits.reshape(b, f, k, self.num_classes)
+        box_offsets = box_offsets.reshape(b, f, k, 10)
+        angle_vecs = angle_vecs.reshape(b, f, k, 2)
+
+        corr_rois = jax.vmap(crop2)(corr_bottle, ss_bev_yx[:, 0])
+        corr_offsets = self.corr_head(
+            corr_rois.reshape(b * k, -1), False).reshape(b, k, 3)
+
+        prop_boxes_3d = box_ops.anchors_to_box_3d(top_anchors,
+                                                  fix_lw=True)
+        gp4 = gp[:, None, None, :]
+        prop_4c = box_ops.box_3d_to_box_4c(prop_boxes_3d, gp4)
+        pred_4c = prop_4c + box_offsets
+        pred_boxes_3d = box_ops.box_4c_to_box_3d(pred_4c, gp4)
+        pred_orient = box_ops.angle_vector_to_orientation(angle_vecs)
+
+        pred_anchors = box_ops.box_3d_to_anchor(pred_boxes_3d,
+                                                ortho_rotate=True)
+        _, pred_bev_norm = project_to_bev(pred_anchors, bev_extents)
+        final_scores_all = jnp.max(
+            jax.nn.softmax(cls_logits, axis=-1)[..., 1:], axis=-1)
+
+        def final_nms(boxes_norm, scores, valid):
+            return nms_ops.nms_bev(boxes_norm, scores, valid,
+                                   m.avod.nms_size,
+                                   m.avod.nms_iou_thresh)
+
+        f_idx, f_valid = jax.vmap(jax.vmap(final_nms))(
+            pred_bev_norm, final_scores_all, top_valid)
+
+        def gather2(x, idx):
+            return jnp.take_along_axis(
+                x, idx.reshape(idx.shape + (1,) * (x.ndim - idx.ndim)),
+                axis=2)
+
+        return {
+            "final_boxes_3d": gather2(pred_boxes_3d, f_idx),
+            "final_orientations": jnp.take_along_axis(pred_orient,
+                                                      f_idx, axis=2),
+            "final_cls_softmax": gather2(
+                jax.nn.softmax(cls_logits, axis=-1), f_idx),
+            "final_scores": jnp.take_along_axis(final_scores_all,
+                                                f_idx, axis=2),
+            "final_valid": f_valid & jnp.take_along_axis(top_valid,
+                                                         f_idx, axis=2),
+            "final_corr_offsets": jnp.take_along_axis(
+                corr_offsets, f_idx[:, 0][..., None], axis=1),
+        }
+
+
 def _path_drop_masks(rnd: jnp.ndarray, p_img: float, p_bev: float):
     """Per-sample path-drop coin flips (rpn_model.py:931-992)."""
     img_chance = (rnd[:, 0] < p_img).astype(jnp.float32)

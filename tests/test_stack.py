@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dodt_tpu import config as cfg_mod
+from dodt_tpu.data import stack as stack_data
+from dodt_tpu.data import synthetic
+from dodt_tpu.models import stack as stack_model
+
+CLUSTERS = ((3.9, 1.6, 1.52),)
+
+
+def test_merge_track_boxes_hull():
+    b0 = np.array([0.0, 1.6, 10.0, 4.0, 2.0, 1.5, 0.0])
+    b1 = np.array([2.0, 1.6, 10.0, 4.0, 2.0, 1.5, 0.0])
+    merged = stack_data.merge_track_boxes(np.stack([b0, b1]))
+    # hull spans x in [-2, 4] -> length 6, centered at 1
+    np.testing.assert_allclose(merged[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(merged[3], 6.0, atol=1e-5)
+    np.testing.assert_allclose(merged[4], 2.0, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_stack"))
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=6,
+                                     ego_speed=0.5)
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.kitti_utils.area_extents = (
+        (-16.0, 16.0), (-3.0, 3.0), (0.0, 48.0))
+    cfg.dataset.kitti_utils.anchor_strides = (1.0, 1.0)
+    cfg.dataset.max_points = 4096
+    cfg.dataset.video_train_ids = (0,)
+    cfg.dataset.data_stride = 2          # stacks of 3 frames
+    ds = stack_data.KittiTrackingStackDataset(cfg.dataset,
+                                              split="train")
+    return cfg, ds
+
+
+def test_stack_dataset_shapes(setup):
+    cfg, ds = setup
+    s = ds.load_stack(0)
+    assert s["points"].shape == (3, 4096, 3)
+    assert s["image"].shape[0] == 3
+    assert s["merged_boxes"].shape == (8, 7)
+    assert s["coexist"].shape == (8,)
+    # co-existing tracks get 0 flags and nonzero motion for movers
+    co = s["coexist"][s["merged_valid"]]
+    assert (co == 0.0).sum() >= 2
+
+
+def test_stack_dataset_end_of_video_clamps(setup):
+    cfg, ds = setup
+    s = ds.load_stack(len(ds.couples) - 1)
+    assert s["points"].shape[0] == 3  # static frame count
+
+
+def test_stack_model_forward_and_loss(setup):
+    cfg, ds = setup
+    model = stack_model.StackAvodNet(cfg=cfg, cluster_sizes=CLUSTERS)
+    batch = ds.next_batch(1, shuffle=False)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)}
+    rng = jax.random.PRNGKey(0)
+    init_fn = jax.jit(model.init, static_argnames=("train", "mode"))
+    variables = init_fn({"params": rng, "dropout": rng,
+                         "pathdrop": rng}, batch, train=False,
+                        mode="val")
+
+    apply_fn = jax.jit(model.apply, static_argnames=("train", "mode"))
+    out = apply_fn(variables, batch, train=False, mode="val")
+    k2 = cfg.model.avod.nms_size
+    assert out["final_boxes_3d"].shape == (1, 3, k2, 7)
+    assert out["final_coexist"].shape == (1, k2)
+    assert np.isfinite(np.array(out["final_boxes_3d"])).all()
+
+    @jax.jit
+    def run_loss(variables, batch, rng):
+        o = model.apply(variables, batch, train=True, mode="train",
+                        rngs={"dropout": rng, "pathdrop": rng})
+        return stack_model.compute_stack_losses(cfg, o, batch, rng)
+
+    total, losses = run_loss(variables, batch, rng)
+    assert np.isfinite(float(total))
+    for name, v in losses.items():
+        assert np.isfinite(float(v)), name
