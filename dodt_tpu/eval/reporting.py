@@ -1,0 +1,62 @@
+"""Result aggregation/plotting (reference scripts/offline_eval/
+plot_ap.py: parse per-checkpoint score tables, report top-5)."""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Optional
+
+
+def load_results(output_dir: str) -> List[Dict]:
+    out = []
+    for path in sorted(glob.glob(os.path.join(output_dir,
+                                              "results_*.json"))):
+        with open(path) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda r: r["step"])
+
+
+def top_checkpoints(results: List[Dict], metric: str = "AP_3D",
+                    difficulty: str = "moderate", k: int = 5
+                    ) -> List[Dict]:
+    scored = [(r["ap"][metric][difficulty], r) for r in results
+              if metric in r.get("ap", {})]
+    scored.sort(key=lambda t: -t[0])
+    return [{"step": r["step"], metric: s} for s, r in scored[:k]]
+
+
+def format_table(results: List[Dict]) -> str:
+    lines = ["step    AP_3D(E/M/H)          AP_BEV(M)  AP_2D(M)  MOTA"]
+    for r in results:
+        ap3 = r["ap"]["AP_3D"]
+        apb = r["ap"]["AP_BEV"]["moderate"]
+        ap2 = r["ap"]["AP_2D"]["moderate"]
+        mota = r.get("mot", {}).get("overall", {}).get("MOTA", float("nan"))
+        lines.append(
+            f"{r['step']:<7} {ap3['easy']:5.2f}/{ap3['moderate']:5.2f}/"
+            f"{ap3['hard']:5.2f}      {apb:6.2f}    {ap2:6.2f}   "
+            f"{mota:6.2f}")
+    return "\n".join(lines)
+
+
+def plot_ap(results: List[Dict], path: Optional[str] = None,
+            metric: str = "AP_3D"):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps = [r["step"] for r in results]
+    fig, ax = plt.subplots()
+    for diff in ("easy", "moderate", "hard"):
+        ax.plot(steps, [r["ap"][metric][diff] for r in results],
+                marker="o", label=diff)
+    ax.set_xlabel("step")
+    ax.set_ylabel(metric + " (%)")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
