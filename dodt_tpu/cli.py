@@ -18,15 +18,37 @@ import numpy as np
 
 
 def _build(cfg_path, split):
+    """Dataset+model selection by cfg.model.model_name (reference
+    experiments/run_*.py family):
+      avod_model           -> single-frame KittiDataset
+      dt_avod_model        -> paired-frame KittiTrackingDataset
+      stack_avod_model     -> N-frame KittiTrackingStackDataset
+    """
     from dodt_tpu.config import PipelineConfig, cars_dt_tracking
-    from dodt_tpu.data.tracking import KittiTrackingDataset
     from dodt_tpu.data.clusters import get_clusters
-    from dodt_tpu.models.dt_avod import DtAvodNet
 
     cfg = PipelineConfig.load(cfg_path) if cfg_path else cars_dt_tracking()
-    ds = KittiTrackingDataset(cfg.dataset, split=split)
-    clusters = get_clusters(ds, cfg)
-    model = DtAvodNet(cfg=cfg, cluster_sizes=clusters)
+    name = cfg.model.model_name
+    if name == "avod_model":
+        from dodt_tpu.data.detection import KittiDataset
+        from dodt_tpu.models.dt_avod import DtAvodNet
+        ds = KittiDataset(cfg.dataset, split=split)
+        clusters = get_clusters(ds, cfg) if hasattr(ds, "couples") \
+            else tuple()
+        from dodt_tpu.data.clusters import DEFAULT_CAR_CLUSTERS
+        clusters = clusters or DEFAULT_CAR_CLUSTERS[
+            :cfg.dataset.num_clusters[0]]
+        model = DtAvodNet(cfg=cfg, cluster_sizes=clusters, num_frames=1)
+    elif name == "stack_avod_model":
+        from dodt_tpu.data.stack import KittiTrackingStackDataset
+        from dodt_tpu.models.stack import StackAvodNet
+        ds = KittiTrackingStackDataset(cfg.dataset, split=split)
+        model = StackAvodNet(cfg=cfg, cluster_sizes=get_clusters(ds, cfg))
+    else:
+        from dodt_tpu.data.tracking import KittiTrackingDataset
+        from dodt_tpu.models.dt_avod import DtAvodNet
+        ds = KittiTrackingDataset(cfg.dataset, split=split)
+        model = DtAvodNet(cfg=cfg, cluster_sizes=get_clusters(ds, cfg))
     return cfg, ds, model
 
 
