@@ -60,19 +60,25 @@ def main():
     variables = init_fn({"params": key, "dropout": key, "pathdrop": key},
                         batch, train=False, mode="val")
 
+    # Timing methodology: queue N async dispatches on device-resident
+    # inputs, then force completion with one small host fetch.
+    # (block_until_ready can return early on remote/tunneled platforms,
+    # and a per-step host fetch would bill network round trips to the
+    # chip.) Per-step cost = wall / N with the one round trip amortized.
+    from dodt_tpu.utils.metrics import device_sync
+
     # ---- monolithic pair forward (keyframe pair recompute) ----------
     apply_fn = jax.jit(model.apply, static_argnames=("train", "mode"))
 
     def run(b):
-        out = apply_fn(variables, b, train=False, mode="val")
-        jax.block_until_ready(out["final_boxes_3d"])
-        return out
+        return apply_fn(variables, b, train=False, mode="val")
 
-    run(batch)  # compile
+    device_sync(run(batch)["final_boxes_3d"])  # compile + settle
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        run(batch)
+        out = run(batch)
+    device_sync(out["final_boxes_3d"])
     pair_dt = (time.perf_counter() - t0) / n_iters
 
     # ---- streaming path: one encode + one pair stage per keyframe ---
@@ -86,13 +92,15 @@ def main():
         "p2": batch["p2"],
         "orig_image_shape": batch["orig_image_shape"],
     }
-    for _ in range(6):  # compile + warm
-        pred.push_keyframe(frame)
-    pred.encode_times.clear()
-    pred.pair_times.clear()
+    out = None
+    for _ in range(3):  # compile + warm
+        out = pred.push_keyframe(frame, fetch=False)
+    device_sync(out["final_boxes_3d"])
+    t0 = time.perf_counter()
     for _ in range(n_iters):
-        pred.push_keyframe(frame)
-    stream_dt = (np.mean(pred.encode_times) + np.mean(pred.pair_times))
+        out = pred.push_keyframe(frame, fetch=False)
+    device_sync(out["final_boxes_3d"])
+    stream_dt = (time.perf_counter() - t0) / n_iters
 
     dt = min(pair_dt, stream_dt)
     fps = TAU / dt

@@ -38,7 +38,6 @@ from dodt_tpu.ops import sampling
 from dodt_tpu.ops.iou import aligned_iou_matrix
 from dodt_tpu.ops.anchors import (empty_anchor_mask, integral_image_2d,
                                   tile_anchors_3d)
-from dodt_tpu.ops.correlation import correlation_cf
 from dodt_tpu.ops.projection import (project_to_bev,
                                      project_to_image_space,
                                      reorder_boxes_yx)
@@ -90,20 +89,26 @@ class Bottleneck(nn.Module):
 
 
 class CorrBottleneck(nn.Module):
-    """1x1 bottleneck over a CHANNEL-FIRST correlation volume
-    (B, D^2, H, W) -> (B, H, W, channels). The contraction consumes the
-    Pallas kernel's channel-first layout directly — no materialized
-    transpose of the D^2 x H x W volume (dt_rpn_model.py:339-345
-    equivalent)."""
+    """Fused correlation + 1x1 bottleneck + norm + relu.
+
+    Takes the two frames' BEV feature maps (B, H, W, C) and returns
+    (B, H, W, channels). On TPU the D^2 correlation volume is contracted
+    with the bottleneck weights inside the Pallas kernel and never hits
+    HBM (dt_rpn_model.py:324-345 equivalent, fused)."""
     channels: int = 1
+    max_displacement: int = 5
+    stride_2: int = 1
 
     @nn.compact
-    def __call__(self, corr_cf):
-        k = corr_cf.shape[1]
+    def __call__(self, feat_a, feat_b):
+        from dodt_tpu.ops.correlation import _disp_grid, corr_bottleneck
+        _, d = _disp_grid(self.max_displacement, self.stride_2)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (k, self.channels))
+                            (d * d, self.channels))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        x = jnp.einsum("bkhw,kc->bhwc", corr_cf, kernel) + bias
+        x_cf = corr_bottleneck(feat_a, feat_b, kernel,
+                               self.max_displacement, self.stride_2)
+        x = jnp.moveaxis(x_cf, 1, -1) + bias     # (B, H, W, Cb)
         x = nn.GroupNorm(num_groups=1)(x)
         return nn.relu(x)
 
@@ -133,7 +138,9 @@ class DtAvodNet(nn.Module):
                                          name="bev_bottleneck")
         self.img_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
                                          name="img_bottleneck")
-        self.corr_bottleneck = CorrBottleneck(1, name="bev_corr_bottleneck")
+        self.corr_bottleneck = CorrBottleneck(
+            1, m.correlation.max_displacement, m.correlation.stride_2,
+            name="bev_corr_bottleneck")
         self.rpn_cls = MlpHead(m.rpn.cls_fc_sizes, 2, m.rpn.keep_prob,
                                name="rpn_cls")
         self.rpn_reg = MlpHead(m.rpn.reg_fc_sizes, 6, m.rpn.keep_prob,
@@ -279,10 +286,8 @@ class DtAvodNet(nn.Module):
 
         bev_feats_bf = bev_feats.reshape((b, f) + bev_feats.shape[1:])
         if f == 2:
-            corr_vol_cf = correlation_cf(
-                bev_feats_bf[:, 0], bev_feats_bf[:, 1],
-                m.correlation.max_displacement, m.correlation.stride_2)
-            corr_bottle = self.corr_bottleneck(corr_vol_cf)  # (B, H, W, 1)
+            corr_bottle = self.corr_bottleneck(
+                bev_feats_bf[:, 0], bev_feats_bf[:, 1])  # (B, H, W, 1)
         else:
             corr_bottle = None
 
@@ -476,10 +481,8 @@ class DtAvodNet(nn.Module):
         m = cfg.model
         bev_extents = np.asarray(ku.bev_extents, np.float32)
 
-        corr_vol_cf = correlation_cf(
-            state_a["bev_feats"], state_b["bev_feats"],
-            m.correlation.max_displacement, m.correlation.stride_2)
-        corr_bottle = self.corr_bottleneck(corr_vol_cf)
+        corr_bottle = self.corr_bottleneck(state_a["bev_feats"],
+                                           state_b["bev_feats"])
 
         top_anchors = jnp.stack(
             [state_a["top_anchors"], state_b["top_anchors"]], axis=1)

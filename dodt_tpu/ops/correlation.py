@@ -96,6 +96,9 @@ def _corr_kernel_cf(a_ref, b_hbm, out_ref, b_scratch, sem, *, d: int,
 
     a = a_ref[...]
     inv_c = 1.0 / c
+    # Fully unrolled d^2 loop: Mosaic requires static sublane/lane
+    # offsets here (dynamic starts must be provably 8/128-aligned,
+    # which displacement offsets are not).
     for ky in range(d):
         r0 = halo_r - pad + ky * stride_2
         for kx in range(d):
@@ -159,6 +162,150 @@ def correlation_xla_cf(a, b, max_displacement, stride_2=1):
     """Channel-first XLA twin of correlation_pallas_cf."""
     return jnp.moveaxis(
         correlation_xla(a, b, max_displacement, stride_2), -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Fused correlation + 1x1 bottleneck
+# ---------------------------------------------------------------------------
+
+def _corr_bottleneck_kernel(a_ref, w_ref, b_hbm, out_ref, b_scratch,
+                            sem, *, d: int, stride_2: int, tile_h: int,
+                            tile_w: int, c: int, pad: int, halo_r: int,
+                            halo_c: int, cb: int):
+    """Correlation contracted with the 1x1 bottleneck weights in VMEM:
+    out[ci] = sum_k corr_k * w[k, ci]. The D^2 x H x W correlation
+    volume never touches HBM (vs ~272 MB write+read at production
+    shapes for the unfused pair)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        b_hbm.at[:, pl.ds(i * tile_h, tile_h + 2 * halo_r),
+                 pl.ds(j * tile_w, tile_w + 2 * halo_c)],
+        b_scratch, sem)
+    dma.start()
+    dma.wait()
+
+    a = a_ref[...]
+    inv_c = 1.0 / c
+
+    # Fully unrolled d^2 loop: Mosaic requires static sublane/lane
+    # offsets (dynamic starts must be provably 8/128-aligned, which
+    # displacement offsets are not) — same constraint as _corr_kernel_cf.
+    # Weights live in SMEM and are applied as scalar multiplies (a
+    # (cb,1,1) vector broadcast would need both sublane and lane
+    # broadcasting, which Mosaic does not implement). Accumulation goes
+    # straight through out_ref so no long register chain stays live
+    # across the 121 unrolled iterations (kernel-stack VMEM is scoped
+    # to ~16 MB).
+    for ci in range(cb):
+        out_ref[ci] = jnp.zeros((tile_h, tile_w), out_ref.dtype)
+    for ky in range(d):
+        r0 = halo_r - pad + ky * stride_2
+        for kx in range(d):
+            c0 = halo_c - pad + kx * stride_2
+            b_shift = b_scratch[:, r0:r0 + tile_h, c0:c0 + tile_w]
+            corr = jnp.sum(a * b_shift, axis=0) * inv_c
+            for ci in range(cb):
+                out_ref[ci] = (out_ref[ci] +
+                               (corr * w_ref[ky * d + kx, ci]
+                                ).astype(out_ref.dtype))
+
+
+def corr_bottleneck_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                           weights: jnp.ndarray, max_displacement: int,
+                           stride_2: int = 1, tile_h: int = 64,
+                           tile_w: int = 128) -> jnp.ndarray:
+    """Fused correlation + 1x1 contraction.
+
+    a, b: (H, W, C); weights: (D^2, Cb). Returns (Cb, H, W)
+    channel-first (bias/norm applied by the caller).
+    """
+    h, w, c = a.shape
+    radius, d = _disp_grid(max_displacement, stride_2)
+    cb = weights.shape[1]
+    pad = max_displacement
+    halo_r = -(-pad // 8) * 8
+    halo_c = -(-pad // 128) * 128
+    gh = -(-h // tile_h)
+    gw = -(-w // tile_w)
+    ph = gh * tile_h - h
+    pw = gw * tile_w - w
+
+    a_p = jnp.pad(jnp.moveaxis(a, -1, 0), ((0, 0), (0, ph), (0, pw)))
+    b_p = jnp.pad(jnp.moveaxis(b, -1, 0),
+                  ((0, 0), (halo_r, halo_r + ph), (halo_c, halo_c + pw)))
+
+    out = pl.pallas_call(
+        functools.partial(_corr_bottleneck_kernel, d=d,
+                          stride_2=stride_2, tile_h=tile_h,
+                          tile_w=tile_w, c=c, pad=pad, halo_r=halo_r,
+                          halo_c=halo_c, cb=cb),
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec((c, tile_h, tile_w), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # weights (scalars)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((cb, tile_h, tile_w),
+                               lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cb, gh * tile_h, gw * tile_w),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, tile_h + 2 * halo_r, tile_w + 2 * halo_c),
+                       a.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(a_p, weights, b_p)
+    return out[:, :h, :w]
+
+
+def corr_bottleneck_xla(a, b, weights, max_displacement, stride_2=1):
+    """XLA twin: einsum over the channel-first correlation volume."""
+    corr = correlation_xla_cf(a, b, max_displacement, stride_2)
+    return jnp.einsum("khw,kc->chw", corr, weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _corr_bottleneck_tpu(a, b, weights, max_displacement, stride_2):
+    return corr_bottleneck_pallas(a, b, weights, max_displacement,
+                                  stride_2)
+
+
+def _corr_bottleneck_tpu_fwd(a, b, weights, max_displacement, stride_2):
+    out = corr_bottleneck_pallas(a, b, weights, max_displacement,
+                                 stride_2)
+    return out, (a, b, weights)
+
+
+def _corr_bottleneck_tpu_bwd(max_displacement, stride_2, res, g):
+    a, b, weights = res
+    _, vjp = jax.vjp(
+        lambda x, y, w: corr_bottleneck_xla(x, y, w, max_displacement,
+                                            stride_2), a, b, weights)
+    return vjp(g)
+
+
+_corr_bottleneck_tpu.defvjp(_corr_bottleneck_tpu_fwd,
+                            _corr_bottleneck_tpu_bwd)
+
+
+def corr_bottleneck(a, b, weights, max_displacement, stride_2=1,
+                    use_pallas: bool | None = None):
+    """Fused correlation+bottleneck, (Cb, H, W) channel-first output.
+    Batched (B, H, W, C) inputs are vmapped over."""
+    if a.ndim > 3:
+        fn = functools.partial(corr_bottleneck, weights=weights,
+                               max_displacement=max_displacement,
+                               stride_2=stride_2, use_pallas=use_pallas)
+        return jax.vmap(lambda x, y: fn(x, y))(a, b)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas:
+        return _corr_bottleneck_tpu(a, b, weights, max_displacement,
+                                    stride_2)
+    return corr_bottleneck_xla(a, b, weights, max_displacement, stride_2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

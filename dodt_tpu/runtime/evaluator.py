@@ -39,6 +39,10 @@ class Evaluator:
         self._apply = jax.jit(model.apply,
                               static_argnames=("train", "mode"))
         self._evaluated: set = set()
+        # best-effort build of the native AP evaluator (falls back to
+        # the Python implementation when no toolchain is present)
+        from dodt_tpu import native
+        native.build()
 
     # ---------------------------------------------------------- core
 

@@ -34,24 +34,33 @@ class StreamingPredictor:
     def reset(self):
         self._state = None
 
-    def push_keyframe(self, frame_batch: Dict[str, np.ndarray]
-                      ) -> Optional[Dict]:
+    def push_keyframe(self, frame_batch: Dict[str, np.ndarray],
+                      fetch: bool = True) -> Optional[Dict]:
         """Feed one keyframe (arrays with leading batch axis 1).
         Returns pair detections once two keyframes are buffered (the
         result covers the *previous* keyframe + this one), else None.
+
+        With fetch=False the pair output stays on device (returned as
+        jax arrays, no host round trip, no timing sync) — the
+        throughput path for benchmarks and downstream device-side
+        consumers.
         """
+        from dodt_tpu.utils.metrics import device_sync
         batch = {k: jnp.asarray(v) for k, v in frame_batch.items()}
         t0 = time.perf_counter()
         state = self._encode({"params": self.params}, batch)
-        jax.block_until_ready(state["top_anchors"])
-        self.encode_times.append(time.perf_counter() - t0)
+        if fetch:
+            device_sync(state["top_anchors"])
+            self.encode_times.append(time.perf_counter() - t0)
 
         prev, self._state = self._state, state
         if prev is None:
             return None
         t0 = time.perf_counter()
         out = self._pair({"params": self.params}, prev, state)
-        jax.block_until_ready(out["final_boxes_3d"])
+        if not fetch:
+            return out
+        device_sync(out["final_boxes_3d"])
         self.pair_times.append(time.perf_counter() - t0)
         return {k: np.array(v) for k, v in out.items()}
 

@@ -37,6 +37,22 @@ class MetricsLogger:
         return rec
 
 
+def device_sync(tree) -> None:
+    """Force completion of every computation the tree depends on.
+
+    `jax.block_until_ready` can return before execution finishes on
+    remote/tunneled platforms; fetching one element to the host cannot,
+    so this is the reliable fence for latency measurement (reference
+    counterpart: the implicit sync of sess.run fetches,
+    dt_evaluator.py:344-358).
+    """
+    import jax
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if hasattr(x, "ravel")]
+    if leaves:
+        np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+
+
 def latency_stats(times_s) -> Dict[str, float]:
     """Mean/median/min/max/std over per-sample latencies (reference
     print_inference_time_statistics semantics)."""

@@ -179,6 +179,34 @@ def test_correlation_batched():
                                atol=1e-5)
 
 
+def test_corr_bottleneck_fused_xla():
+    rng = np.random.RandomState(12)
+    a = rng.randn(10, 12, 4).astype(np.float32)
+    b = rng.randn(10, 12, 4).astype(np.float32)
+    w = rng.randn(25, 2).astype(np.float32)
+    out = np.array(correlation.corr_bottleneck_xla(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(w), 2))
+    corr = np_correlation(a, b, 2)                   # (H, W, 25)
+    want = np.einsum("hwk,kc->chw", corr, w)
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_corr_bottleneck_grads():
+    rng = np.random.RandomState(13)
+    a = jnp.asarray(rng.randn(6, 6, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(6, 6, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(25, 1).astype(np.float32))
+
+    def f(w_):
+        return jnp.sum(correlation.corr_bottleneck_xla(a, b, w_, 2) ** 2)
+
+    g = jax.grad(f)(w)
+    eps = 1e-3
+    for idx in [(0, 0), (12, 0), (24, 0)]:
+        fd = (f(w.at[idx].add(eps)) - f(w.at[idx].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-3)
+
+
 def test_correlation_grad():
     rng = np.random.RandomState(10)
     a = jnp.asarray(rng.randn(6, 6, 3).astype(np.float32))
