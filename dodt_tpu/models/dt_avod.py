@@ -38,6 +38,8 @@ from dodt_tpu.ops import sampling
 from dodt_tpu.ops.iou import aligned_iou_matrix
 from dodt_tpu.ops.anchors import (empty_anchor_mask, integral_image_2d,
                                   tile_anchors_3d)
+from dodt_tpu.ops.dense_rpn import (build_bev_lattice, dense_bev_rois,
+                                    dense_empty_anchor_mask)
 from dodt_tpu.ops.projection import (project_to_bev,
                                      project_to_image_space,
                                      reorder_boxes_yx)
@@ -195,11 +197,23 @@ class DtAvodNet(nn.Module):
                 batch["ground_plane"])                # (B, N, 6)
         n_anchors = anchors.shape[1]
 
+        # dense lattice path (gather-free) when the anchor grid is an
+        # exact pixel lattice of the BEV map (ops/dense_rpn.py)
+        lattice = build_bev_lattice(
+            ku.area_extents, ku.anchor_strides, self.cluster_sizes,
+            ku.bev_shape, ku.voxel_size, m.rpn.proposal_roi_crop_size)
+
         integral = jax.vmap(jax.vmap(integral_image_2d))(occupancy)
-        anchor_valid = jax.vmap(jax.vmap(
-            lambda ii, anc: empty_anchor_mask(
-                ii, anc, bev_extents, ku.voxel_size, ku.density_threshold),
-            in_axes=(0, None)))(integral, anchors)     # (B, F, N)
+        if lattice is not None:
+            anchor_valid = jax.vmap(jax.vmap(
+                lambda ii: dense_empty_anchor_mask(
+                    ii, lattice, ku.density_threshold)))(integral)
+        else:
+            anchor_valid = jax.vmap(jax.vmap(
+                lambda ii, anc: empty_anchor_mask(
+                    ii, anc, bev_extents, ku.voxel_size,
+                    ku.density_threshold),
+                in_axes=(0, None)))(integral, anchors)  # (B, F, N)
 
         # ---------------- towers ----------------------------------------
         bev_flat = bev_input.reshape((b * f,) + bev_input.shape[2:])
@@ -233,10 +247,15 @@ class DtAvodNet(nn.Module):
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size)
         # (B, F, N, s, s, C)
-        bev_rois = jax.vmap(lambda fm, bx: jax.vmap(
-            lambda fm1: crop(fm1, bx))(fm))(
-                bev_bottle.reshape((b, f) + bev_bottle.shape[1:]),
-                bev_norm_yx)
+        if lattice is not None:
+            bev_rois = jax.vmap(jax.vmap(
+                lambda fm1: dense_bev_rois(fm1, lattice)))(
+                    bev_bottle.reshape((b, f) + bev_bottle.shape[1:]))
+        else:
+            bev_rois = jax.vmap(lambda fm, bx: jax.vmap(
+                lambda fm1: crop(fm1, bx))(fm))(
+                    bev_bottle.reshape((b, f) + bev_bottle.shape[1:]),
+                    bev_norm_yx)
         img_rois = jax.vmap(lambda fm, bx: jax.vmap(
             lambda fm1: crop(fm1, bx))(fm))(
                 img_bottle.reshape((b, f) + img_bottle.shape[1:]),
@@ -420,11 +439,19 @@ class DtAvodNet(nn.Module):
         anchors = jax.vmap(lambda gp: box_ops.box_3d_to_anchor(
             tile_anchors_3d(area, sizes, ku.anchor_strides, gp)))(
                 batch["ground_plane"])
+        lattice = build_bev_lattice(
+            ku.area_extents, ku.anchor_strides, self.cluster_sizes,
+            ku.bev_shape, ku.voxel_size, m.rpn.proposal_roi_crop_size)
         integral = jax.vmap(integral_image_2d)(maps.occupancy)
-        anchor_valid = jax.vmap(
-            lambda ii, anc: empty_anchor_mask(
-                ii, anc, bev_extents, ku.voxel_size,
-                ku.density_threshold))(integral, anchors)
+        if lattice is not None:
+            anchor_valid = jax.vmap(
+                lambda ii: dense_empty_anchor_mask(
+                    ii, lattice, ku.density_threshold))(integral)
+        else:
+            anchor_valid = jax.vmap(
+                lambda ii, anc: empty_anchor_mask(
+                    ii, anc, bev_extents, ku.voxel_size,
+                    ku.density_threshold))(integral, anchors)
 
         bev_feats = self.bev_tower(maps.features).astype(jnp.float32)
         img_feats = self.img_tower(
@@ -439,7 +466,12 @@ class DtAvodNet(nn.Module):
             anchors, batch["p2"], img_shapes)
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size)
-        bev_rois = jax.vmap(crop)(bev_bottle, reorder_boxes_yx(bev_norm))
+        if lattice is not None:
+            bev_rois = jax.vmap(
+                lambda fm1: dense_bev_rois(fm1, lattice))(bev_bottle)
+        else:
+            bev_rois = jax.vmap(crop)(bev_bottle,
+                                      reorder_boxes_yx(bev_norm))
         img_rois = jax.vmap(crop)(img_bottle, reorder_boxes_yx(img_norm))
         fused = (bev_rois + img_rois) / 2.0
         b = fused.shape[0]

@@ -99,11 +99,17 @@ def bev_occupancy_counts(integral_2d: jnp.ndarray,
     z = anchors[:, 2]
     half_x = anchors[:, 3] / 2.0
     half_z = anchors[:, 5] / 2.0
-    # Cell index of each corner (truncation, as reference map_to_index).
-    x1 = ((x - half_x - bev_extents[0, 0]) / voxel_size).astype(jnp.int32)
-    x2 = ((x + half_x - bev_extents[0, 0]) / voxel_size).astype(jnp.int32)
-    z1 = ((z - half_z - bev_extents[1, 0]) / voxel_size).astype(jnp.int32)
-    z2 = ((z + half_z - bev_extents[1, 0]) / voxel_size).astype(jnp.int32)
+    # Cell index of each corner (floor; the reference map_to_index
+    # int-casts, identical on the in-range positive values and cleaner
+    # on out-of-range negatives, which both paths then clip anyway).
+    x1 = jnp.floor((x - half_x - bev_extents[0, 0]) / voxel_size
+                   ).astype(jnp.int32)
+    x2 = jnp.floor((x + half_x - bev_extents[0, 0]) / voxel_size
+                   ).astype(jnp.int32)
+    z1 = jnp.floor((z - half_z - bev_extents[1, 0]) / voxel_size
+                   ).astype(jnp.int32)
+    z2 = jnp.floor((z + half_z - bev_extents[1, 0]) / voxel_size
+                   ).astype(jnp.int32)
     x1 = jnp.clip(x1, 0, nx - 1)
     z1 = jnp.clip(z1, 0, nz - 1)
     x2 = jnp.clip(x2, 0, nx - 1) + 1  # inclusive upper cell

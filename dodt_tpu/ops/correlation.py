@@ -291,6 +291,42 @@ _corr_bottleneck_tpu.defvjp(_corr_bottleneck_tpu_fwd,
                             _corr_bottleneck_tpu_bwd)
 
 
+def corr_bottleneck_blur(a, b, weights, max_displacement, stride_2=1):
+    """Algebraic restructure of correlation + 1x1 bottleneck.
+
+    out[ci, y, x] = sum_k w[k, ci] * (1/C) sum_c a[y,x,c] b[y+dy_k,
+    x+dx_k, c]  factors as  (1/C) sum_c a[y,x,c] * BW[y,x,c,ci]  where
+    BW = b blurred with the D x D weight kernel (the SAME kernel for
+    every feature channel). The D^2-channel correlation volume never
+    exists; the blur is one depthwise conv (XLA's optimized conv path,
+    with efficient autodiff) and the contraction is an elementwise
+    multiply-reduce. Replaces the Pallas fused kernel, whose
+    displacement slices are lane-unaligned on TPU.
+
+    a, b: (H, W, C); weights: (D^2, Cb). Returns (Cb, H, W).
+    """
+    h, w, c = a.shape
+    radius, d = _disp_grid(max_displacement, stride_2)
+    pad = max_displacement
+    cb = weights.shape[1]
+    # kernel index k = ky * d + kx over (dy, dx) displacements
+    kern = jnp.tile(weights.reshape(d, d, 1, cb),
+                    (1, 1, 1, c)).reshape(d, d, 1, c * cb)
+    # depthwise conv: feature_group_count = C, each group gets the same
+    # (d, d) kernel per output column ci -> output channels (c, ci)
+    bw = jax.lax.conv_general_dilated(
+        b[None], kern.astype(b.dtype),
+        window_strides=(1, 1),
+        padding=((pad, pad + (d - 1) * stride_2 - 2 * pad),
+                 (pad, pad + (d - 1) * stride_2 - 2 * pad)),
+        rhs_dilation=(stride_2, stride_2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)[0]                 # (H, W, C*Cb)
+    bw = bw.reshape(h, w, c, cb)
+    out = jnp.einsum("hwc,hwcb->bhw", a, bw) / c
+    return out
+
+
 def corr_bottleneck(a, b, weights, max_displacement, stride_2=1,
                     use_pallas: bool | None = None):
     """Fused correlation+bottleneck, (Cb, H, W) channel-first output.
@@ -300,12 +336,11 @@ def corr_bottleneck(a, b, weights, max_displacement, stride_2=1,
                                max_displacement=max_displacement,
                                stride_2=stride_2, use_pallas=use_pallas)
         return jax.vmap(lambda x, y: fn(x, y))(a, b)
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == 'tpu'
     if use_pallas:
         return _corr_bottleneck_tpu(a, b, weights, max_displacement,
                                     stride_2)
-    return corr_bottleneck_xla(a, b, weights, max_displacement, stride_2)
+    return corr_bottleneck_blur(a, b, weights, max_displacement,
+                                stride_2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -3,12 +3,48 @@
 TPU replacement for tf.image.crop_and_resize as used by the reference's
 RPN/AVOD ROI pooling (rpn_model.py:320-350, dt_avod_model.py:235-273):
 a batched bilinear gather with static (num_rois, size, size, C) output.
-Matches TF semantics: sample grid spans the box corners inclusively,
-coordinates are normalized by (dim - 1).
+
+Two deliberate departures from TF semantics, both TPU-motivated:
+
+* **Half-pixel convention**: sample coordinate = norm * dim - 0.5
+  (instead of TF's norm * (dim - 1)). Under this convention the sample
+  lattice of the regular anchor grid is exactly periodic in the BEV
+  feature map (anchor stride / voxel size pixels), which is what lets
+  the RPN stage run as dense phase slicing (ops/dense_rpn.py) instead
+  of 90k gathers.
+* **Single packed gather**: the four bilinear taps are packed into the
+  channel axis (tl|tr|bl|br) by two edge-replicating shifts, so each
+  sample point costs ONE gather instead of four. TPU gathers are
+  per-access bound, not per-byte, so this is ~4x on gather-dominated
+  shapes.
+
+Out-of-range samples clamp to the edge (equivalent to TF's behavior on
+pre-clipped boxes, which is the only way the reference uses it).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def pack_bilinear_taps(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 4C) with channels [tl, tr, bl, br] where
+    tr = image[y, min(x+1, W-1)] etc. (edge-replicated shifts)."""
+    right = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+    pair = jnp.concatenate([image, right], axis=-1)          # (H, W, 2C)
+    down = jnp.concatenate([pair[1:], pair[-1:]], axis=0)
+    return jnp.concatenate([pair, down], axis=-1)            # (H, W, 4C)
+
+
+def sample_grid(boxes_norm: jnp.ndarray, dim_px: int, lo: jnp.ndarray,
+                hi: jnp.ndarray, crop_size: int) -> jnp.ndarray:
+    """Pixel sample coordinates along one axis, (N, S), clamped."""
+    s = crop_size
+    if s > 1:
+        grid = jnp.arange(s, dtype=jnp.float32) / (s - 1)    # (S,)
+        t = lo[:, None] + (hi - lo)[:, None] * grid          # (N, S)
+    else:
+        t = ((lo + hi) / 2.0)[:, None]
+    return jnp.clip(t * dim_px - 0.5, 0.0, dim_px - 1)
 
 
 def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
@@ -21,43 +57,41 @@ def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
       crop_size: static output side S.
 
     Returns:
-      (N, S, S, C) crops. Out-of-range samples are clamped to the edge
-      (TF uses extrapolation_value=0; the reference always passes boxes
-      already clipped to [0, 1], where clamp == TF behavior).
+      (N, S, S, C) crops.
     """
-    h, w, _ = image.shape
-    s = crop_size
-    y1, x1 = boxes_norm[:, 0], boxes_norm[:, 1]
-    y2, x2 = boxes_norm[:, 2], boxes_norm[:, 3]
+    h, w, c = image.shape
+    ys = sample_grid(boxes_norm, h, boxes_norm[:, 0], boxes_norm[:, 2],
+                     crop_size)
+    xs = sample_grid(boxes_norm, w, boxes_norm[:, 1], boxes_norm[:, 3],
+                     crop_size)
 
-    if s > 1:
-        grid = jnp.arange(s, dtype=jnp.float32) / (s - 1)  # (S,)
-        ys = (y1[:, None] + (y2 - y1)[:, None] * grid) * (h - 1)  # (N, S)
-        xs = (x1[:, None] + (x2 - x1)[:, None] * grid) * (w - 1)
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    y_frac = (ys - y0f)[:, :, None, None]         # (N, S, 1, 1)
+    x_frac = (xs - x0f)[:, None, :, None]         # (N, 1, S, 1)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    if c <= 8:
+        # Gather-count bound: pack the 4 taps into channels, one gather.
+        packed = pack_bilinear_taps(image)
+        taps = packed[y0[:, :, None], x0[:, None, :]]  # (N, S, S, 4C)
+        tl = taps[..., 0 * c:1 * c]
+        tr = taps[..., 1 * c:2 * c]
+        bl = taps[..., 2 * c:3 * c]
+        br = taps[..., 3 * c:4 * c]
     else:
-        ys = ((y1 + y2) / 2.0 * (h - 1))[:, None]
-        xs = ((x1 + x2) / 2.0 * (w - 1))[:, None]
+        # Wide maps: 4 gathers beat materializing a 4x copy of the map.
+        y1i = jnp.minimum(y0 + 1, h - 1)
+        x1i = jnp.minimum(x0 + 1, w - 1)
 
-    ys = jnp.clip(ys, 0.0, h - 1)
-    xs = jnp.clip(xs, 0.0, w - 1)
+        def gather(yi, xi):
+            return image[yi[:, :, None], xi[:, None, :]]
 
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    y_frac = (ys - y0)[:, :, None, None]          # (N, S, 1, 1)
-    x_frac = (xs - x0)[:, None, :, None]          # (N, 1, S, 1)
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-    y1i = jnp.minimum(y0 + 1, h - 1)
-    x1i = jnp.minimum(x0 + 1, w - 1)
-
-    def gather(yi, xi):
-        # direct 2D gather -> (N, S, S, C); no (N, S, W, C) intermediate
-        return image[yi[:, :, None], xi[:, None, :]]
-
-    tl = gather(y0, x0)
-    tr = gather(y0, x1i)
-    bl = gather(y1i, x0)
-    br = gather(y1i, x1i)
+        tl = gather(y0, x0)
+        tr = gather(y0, x1i)
+        bl = gather(y1i, x0)
+        br = gather(y1i, x1i)
 
     top_i = tl + (tr - tl) * x_frac
     bot_i = bl + (br - bl) * x_frac

@@ -85,13 +85,14 @@ def test_nms_respects_valid_mask():
 # ---------------------------------------------------------------- roi
 
 def np_crop_and_resize(image, box, s):
+    """Oracle with the half-pixel convention (coord = norm*dim - 0.5)."""
     h, w, c = image.shape
     y1, x1, y2, x2 = box
     out = np.zeros((s, s, c))
     for i in range(s):
         for j in range(s):
-            y = (y1 + (y2 - y1) * i / (s - 1)) * (h - 1)
-            x = (x1 + (x2 - x1) * j / (s - 1)) * (w - 1)
+            y = (y1 + (y2 - y1) * i / (s - 1)) * h - 0.5
+            x = (x1 + (x2 - x1) * j / (s - 1)) * w - 0.5
             y = min(max(y, 0), h - 1)
             x = min(max(x, 0), w - 1)
             y0, x0 = int(np.floor(y)), int(np.floor(x))
@@ -104,25 +105,27 @@ def np_crop_and_resize(image, box, s):
     return out
 
 
-def test_crop_and_resize_identity():
-    rng = np.random.RandomState(5)
-    img = rng.rand(7, 7, 3).astype(np.float32)
-    boxes = jnp.array([[0.0, 0.0, 1.0, 1.0]])
+def test_crop_and_resize_constant():
+    # constant image -> constant crops regardless of convention
+    img = np.full((9, 9, 3), 2.5, np.float32)
+    boxes = jnp.array([[0.0, 0.0, 1.0, 1.0], [0.1, 0.3, 0.4, 0.8]])
     out = np.array(roi.crop_and_resize(jnp.asarray(img), boxes, 7))
-    np.testing.assert_allclose(out[0], img, atol=1e-5)
+    np.testing.assert_allclose(out, 2.5, atol=1e-6)
 
 
 def test_crop_and_resize_vs_numpy():
     rng = np.random.RandomState(6)
-    img = rng.rand(20, 30, 4).astype(np.float32)
-    boxes = np.array([[0.1, 0.2, 0.6, 0.9],
-                      [0.0, 0.0, 0.3, 0.3],
-                      [0.5, 0.5, 1.0, 1.0]], np.float32)
-    out = np.array(roi.crop_and_resize(jnp.asarray(img),
-                                       jnp.asarray(boxes), 5))
-    for k in range(len(boxes)):
-        want = np_crop_and_resize(img, boxes[k], 5)
-        np.testing.assert_allclose(out[k], want, atol=1e-4)
+    for c in (4, 32):   # exercise both the packed and 4-gather paths
+        img = rng.rand(20, 30, c).astype(np.float32)
+        boxes = np.array([[0.1, 0.2, 0.6, 0.9],
+                          [0.0, 0.0, 0.3, 0.3],
+                          [0.5, 0.5, 1.0, 1.0],
+                          [-0.05, -0.05, 1.05, 1.08]], np.float32)
+        out = np.array(roi.crop_and_resize(jnp.asarray(img),
+                                           jnp.asarray(boxes), 5))
+        for k in range(len(boxes)):
+            want = np_crop_and_resize(img, boxes[k], 5)
+            np.testing.assert_allclose(out[k], want, atol=1e-4)
 
 
 # ---------------------------------------------------------------- correlation
@@ -189,6 +192,21 @@ def test_corr_bottleneck_fused_xla():
     corr = np_correlation(a, b, 2)                   # (H, W, 25)
     want = np.einsum("hwk,kc->chw", corr, w)
     np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_corr_bottleneck_blur_matches_xla():
+    rng = np.random.RandomState(14)
+    for (h, w, c, cb, md, s2) in [(10, 12, 4, 2, 2, 1),
+                                  (12, 12, 4, 1, 4, 2)]:
+        a = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+        b = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+        _, d = correlation._disp_grid(md, s2)
+        wts = jnp.asarray(rng.randn(d * d, cb).astype(np.float32))
+        want = np.array(correlation.corr_bottleneck_xla(a, b, wts, md,
+                                                        s2))
+        got = np.array(correlation.corr_bottleneck_blur(a, b, wts, md,
+                                                        s2))
+        np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_corr_bottleneck_grads():
