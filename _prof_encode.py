@@ -1,0 +1,49 @@
+import time, functools
+import numpy as np
+import jax, jax.numpy as jnp
+from dodt_tpu.config import cars_dt_tracking
+from dodt_tpu.data.clusters import DEFAULT_CAR_CLUSTERS
+from dodt_tpu.models.dt_avod import DtAvodNet
+from dodt_tpu.runtime.predictor import StreamingPredictor
+from dodt_tpu.utils.metrics import device_sync
+
+cfg = cars_dt_tracking()
+cfg.dataset.max_points = 65536
+model = DtAvodNet(cfg=cfg, cluster_sizes=DEFAULT_CAR_CLUSTERS)
+rng = np.random.RandomState(0)
+p = cfg.dataset.max_points
+h, w = cfg.dataset.image_shape
+pts = np.stack([rng.uniform(-40,40,p), rng.uniform(-1,2,p), rng.uniform(0,70,p)],1).astype(np.float32)
+frame = {
+    "points": jnp.asarray(pts[None]),
+    "points_valid": jnp.ones((1, p), bool),
+    "image": jnp.asarray(rng.uniform(0,255,(1,h,w,3)).astype(np.float32)),
+    "ground_plane": jnp.asarray(np.array([[0.,-1.,0.,1.65]], np.float32)),
+    "p2": jnp.asarray(np.array([[[721.5,0,609.5,44.9],[0,721.5,172.8,0.2],[0,0,1.,0.003]]], np.float32)),
+    "orig_image_shape": jnp.asarray(np.array([[375,1242]], np.int32)),
+}
+batch_pair = {
+    "points": jnp.stack([frame["points"], frame["points"]], 1),
+    "points_valid": jnp.stack([frame["points_valid"], frame["points_valid"]], 1),
+    "image": jnp.stack([frame["image"], frame["image"]], 1),
+    "ground_plane": frame["ground_plane"], "p2": frame["p2"],
+    "orig_image_shape": frame["orig_image_shape"],
+}
+key = jax.random.PRNGKey(0)
+init_fn = jax.jit(model.init, static_argnames=("train", "mode"))
+variables = init_fn({"params": key, "dropout": key, "pathdrop": key}, batch_pair, train=False, mode="val")
+params = variables["params"]
+
+def timeit(name, fn, n=20):
+    out = fn(); device_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    device_sync(out)
+    print(f"{name}: {(time.perf_counter()-t0)/n*1000:.2f} ms", flush=True)
+
+enc = jax.jit(lambda v, b: model.apply(v, b, method=model.encode_frame))
+state = enc({"params": params}, frame)
+timeit("encode_frame", lambda: enc({"params": params}, frame))
+pair = jax.jit(lambda v, a, b: model.apply(v, a, b, method=model.pair_stage))
+timeit("pair_stage", lambda: pair({"params": params}, state, state))

@@ -108,6 +108,10 @@ class RpnConfig:
     corr_fc_sizes: Tuple[int, int] = (256, 256)
     keep_prob: float = 0.5
     bottleneck_channels: int = 1
+    # eval-time two-pass fusion: rank anchors by the (dense, gather
+    # free) BEV-only head score and fuse image ROIs only for the top-K
+    # candidates; 0 = single-pass full fusion (always used in train)
+    fusion_top_k: int = 8192
 
 
 @dataclass
@@ -151,6 +155,9 @@ class ModelConfig:
     eval_all_samples: bool = False
     # compute dtype for the conv towers ("bfloat16" or "float32")
     tower_dtype: str = "bfloat16"
+    # "fast" = parallel one-pass NMS (TPU-friendly, subset of greedy's
+    # picks); "greedy" = exact sequential tf.image.non_max_suppression
+    nms_mode: str = "fast"
 
 
 # ---------------------------------------------------------------- train/eval

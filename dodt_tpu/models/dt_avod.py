@@ -283,7 +283,7 @@ class DtAvodNet(nn.Module):
             cand_idx, cand_valid = nms_ops.top_k_prefilter(
                 jnp.where(valid, scores, -1e9), valid, pre_k)
             cand_boxes = boxes_norm[cand_idx]
-            keep, keep_valid = nms_ops.nms_bev(
+            keep, keep_valid = nms_ops.nms_bev_mode(m.nms_mode)(
                 cand_boxes, scores[cand_idx], cand_valid, k_rpn,
                 m.rpn.nms_iou_thresh)
             return cand_idx[keep], keep_valid
@@ -366,7 +366,7 @@ class DtAvodNet(nn.Module):
             jax.nn.softmax(cls_logits, axis=-1)[..., 1:], axis=-1)
 
         def final_nms(boxes_norm, scores, valid):
-            keep, keep_valid = nms_ops.nms_bev(
+            keep, keep_valid = nms_ops.nms_bev_mode(m.nms_mode)(
                 boxes_norm, scores, valid, m.avod.nms_size,
                 m.avod.nms_iou_thresh)
             return keep, keep_valid
@@ -460,42 +460,66 @@ class DtAvodNet(nn.Module):
         img_bottle = self.img_bottleneck(img_feats)
 
         n_anchors = anchors.shape[1]
-        _, bev_norm = project_to_bev(anchors, bev_extents)
+        b = bev_bottle.shape[0]
         img_shapes = batch["orig_image_shape"].astype(jnp.float32)
-        _, img_norm = jax.vmap(project_to_image_space)(
-            anchors, batch["p2"], img_shapes)
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size)
         if lattice is not None:
             bev_rois = jax.vmap(
                 lambda fm1: dense_bev_rois(fm1, lattice))(bev_bottle)
         else:
+            _, bev_norm = project_to_bev(anchors, bev_extents)
             bev_rois = jax.vmap(crop)(bev_bottle,
                                       reorder_boxes_yx(bev_norm))
-        img_rois = jax.vmap(crop)(img_bottle, reorder_boxes_yx(img_norm))
-        fused = (bev_rois + img_rois) / 2.0
-        b = fused.shape[0]
-        flat = fused.reshape(b * n_anchors, -1)
-        objectness = self.rpn_cls(flat, False).reshape(b, n_anchors, 2)
-        rpn_offsets = self.rpn_reg(flat, False).reshape(b, n_anchors, 6)
+        bev_flat = bev_rois.reshape(b, n_anchors, -1)
 
-        proposals = box_ops.offset_to_anchor(anchors, rpn_offsets)
+        k_fuse = m.rpn.fusion_top_k
+        if k_fuse and k_fuse < n_anchors:
+            # two-pass fusion: rank anchors by the BEV-only head score
+            # (dense, gather-free), fuse image evidence only for the
+            # top-K candidates — image ROI gathers drop ~10x.
+            obj1 = self.rpn_cls(bev_flat.reshape(b * n_anchors, -1),
+                                False).reshape(b, n_anchors, 2)
+            s1 = jax.nn.softmax(obj1, axis=-1)[..., 1]
+            s1 = jnp.where(anchor_valid, s1, -1e9)
+            _, cand_idx = jax.lax.approx_max_k(s1, k_fuse)   # (B, K)
+            cand_valid = jnp.take_along_axis(anchor_valid, cand_idx,
+                                             axis=1)
+            cand_anchors = jnp.take_along_axis(
+                anchors, cand_idx[..., None], axis=1)
+            bev_sel = jnp.take_along_axis(bev_flat, cand_idx[..., None],
+                                          axis=1)
+        else:
+            k_fuse = n_anchors
+            cand_valid = anchor_valid
+            cand_anchors = anchors
+            bev_sel = bev_flat
+
+        _, img_norm = jax.vmap(project_to_image_space)(
+            cand_anchors, batch["p2"], img_shapes)
+        img_rois = jax.vmap(crop)(img_bottle, reorder_boxes_yx(img_norm))
+        fused = (bev_sel + img_rois.reshape(b, k_fuse, -1)) / 2.0
+        flat = fused.reshape(b * k_fuse, -1)
+        objectness = self.rpn_cls(flat, False).reshape(b, k_fuse, 2)
+        rpn_offsets = self.rpn_reg(flat, False).reshape(b, k_fuse, 6)
+
+        proposals = box_ops.offset_to_anchor(cand_anchors, rpn_offsets)
         _, prop_bev_norm = project_to_bev(proposals, bev_extents)
         obj_scores = jax.nn.softmax(objectness, axis=-1)[..., 1]
-        obj_scores = jnp.where(anchor_valid, obj_scores, -1.0)
+        obj_scores = jnp.where(cand_valid, obj_scores, -1.0)
         k_rpn = m.rpn.test_nms_size
-        pre_k = min(4 * k_rpn, n_anchors)
+        pre_k = min(4 * k_rpn, k_fuse)
 
         def rpn_nms(boxes_norm, scores, valid):
             cand_idx, cand_valid = nms_ops.top_k_prefilter(
                 jnp.where(valid, scores, -1e9), valid, pre_k)
-            keep, keep_valid = nms_ops.nms_bev(
+            keep, keep_valid = nms_ops.nms_bev_mode(m.nms_mode)(
                 boxes_norm[cand_idx], scores[cand_idx], cand_valid,
                 k_rpn, m.rpn.nms_iou_thresh)
             return cand_idx[keep], keep_valid
 
         top_idx, top_valid = jax.vmap(rpn_nms)(
-            prop_bev_norm, obj_scores, anchor_valid)
+            prop_bev_norm, obj_scores, cand_valid)
         top_anchors = jnp.take_along_axis(proposals,
                                           top_idx[..., None], axis=1)
         return {
@@ -569,7 +593,7 @@ class DtAvodNet(nn.Module):
             jax.nn.softmax(cls_logits, axis=-1)[..., 1:], axis=-1)
 
         def final_nms(boxes_norm, scores, valid):
-            return nms_ops.nms_bev(boxes_norm, scores, valid,
+            return nms_ops.nms_bev_mode(m.nms_mode)(boxes_norm, scores, valid,
                                    m.avod.nms_size,
                                    m.avod.nms_iou_thresh)
 

@@ -191,7 +191,7 @@ class StackAvodNet(nn.Module):
         def rpn_nms(boxes_norm, scores, valid):
             cand_idx, cand_valid = nms_ops.top_k_prefilter(
                 jnp.where(valid, scores, -1e9), valid, pre_k)
-            keep, keep_valid = nms_ops.nms_bev(
+            keep, keep_valid = nms_ops.nms_bev_mode(m.nms_mode)(
                 boxes_norm[cand_idx], scores[cand_idx], cand_valid,
                 k_rpn, m.rpn.nms_iou_thresh)
             return cand_idx[keep], keep_valid
@@ -257,7 +257,7 @@ class StackAvodNet(nn.Module):
             jax.nn.softmax(cls_logits, axis=-1)[..., 1:], axis=-1)
 
         def final_nms(boxes_norm, scores, valid):
-            return nms_ops.nms_bev(boxes_norm, scores, valid,
+            return nms_ops.nms_bev_mode(m.nms_mode)(boxes_norm, scores, valid,
                                    m.avod.nms_size,
                                    m.avod.nms_iou_thresh)
 

@@ -313,3 +313,58 @@ def test_sample_mini_batch_dead_zone():
     # 0.4 is in the dead zone [0.3, 0.5] -> never sampled
     assert not sel[2]
     assert np.array(pos)[3] and np.array(pos)[4]
+
+
+# ---------------------------------------------------------------- fast NMS
+
+def np_fast_nms(boxes, scores, valid, max_out, thresh):
+    n = len(scores)
+    s = np.where(valid, scores, -1e9)
+    keep = []
+    for i in range(n):
+        if not valid[i]:
+            continue
+        dominated = False
+        for j in range(n):
+            if j == i or not valid[j]:
+                continue
+            if (s[j] > s[i]) or (s[j] == s[i] and j < i):
+                from dodt_tpu.utils.np_iou import aligned_iou_2d
+                iou = aligned_iou_2d(boxes[i], boxes[j:j+1])[0]
+                if iou > thresh:
+                    dominated = True
+                    break
+        if not dominated:
+            keep.append(i)
+    keep.sort(key=lambda i: (-s[i], i))
+    return keep[:max_out]
+
+
+def test_fast_nms_vs_oracle():
+    from dodt_tpu.ops import nms as nms_ops
+    rng = np.random.RandomState(7)
+    n = 40
+    xy = rng.rand(n, 2) * 8
+    wh = rng.rand(n, 2) * 4 + 0.5
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    idx, ok = nms_ops.nms_bev_fast(jnp.asarray(boxes),
+                                   jnp.asarray(scores),
+                                   jnp.asarray(valid), 10, 0.3)
+    got = [int(i) for i, o in zip(np.array(idx), np.array(ok)) if o]
+    want = np_fast_nms(boxes, scores, valid, 10, 0.3)
+    assert got == want
+
+
+def test_fast_nms_subset_of_greedy_picks_top():
+    # with a high threshold nothing suppresses: both return top-k
+    from dodt_tpu.ops import nms as nms_ops
+    rng = np.random.RandomState(8)
+    boxes = jnp.asarray(rng.rand(20, 2).repeat(2, -1) +
+                        np.array([0, 0, 0.1, 0.1]), jnp.float32)
+    scores = jnp.asarray(rng.rand(20).astype(np.float32))
+    valid = jnp.ones(20, bool)
+    gi, gv = nms_ops.nms_bev(boxes, scores, valid, 5, 0.99)
+    fi, fv = nms_ops.nms_bev_fast(boxes, scores, valid, 5, 0.99)
+    np.testing.assert_array_equal(np.array(gi), np.array(fi))
