@@ -87,6 +87,11 @@ class FeatureExtractorConfig:
     conv3: Tuple[int, int] = (3, 128)
     conv4: Tuple[int, int] = (3, 256)
     l2_weight_decay: float = 0.0005
+    # decoder output stride: 1 = full-resolution decode (reference
+    # bev_vgg_pyramid semantics); 2 = stop one level up — full-res
+    # convs are layout-bound on TPU, and only the 1-channel RPN
+    # bottleneck needs full resolution (it gets upsampled)
+    decode_stride: int = 2
 
 
 @dataclass

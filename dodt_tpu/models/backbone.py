@@ -77,6 +77,13 @@ class VggPyramid(nn.Module):
         u2 = up(f3, cfg.conv2[1], "upconv2")
         f2 = block(jnp.concatenate([c2, u2], axis=-1), 1, cfg.conv1[1],
                    name="pyramid_fusion2")
+        if cfg.decode_stride == 2:
+            # stride-2 output: full-res conv layers are layout-bound on
+            # TPU; downstream ROI ops take normalized coords, and the
+            # 1-ch RPN bottleneck is upsampled back to full res
+            if ph or pw:
+                f2 = f2[:, ph // 2:, pw // 2:]
+            return f2
         u1 = up(f2, cfg.conv1[1], "upconv1")
         f1 = block(jnp.concatenate([c1, u1], axis=-1), 1, cfg.conv1[1],
                    name="pyramid_fusion1")

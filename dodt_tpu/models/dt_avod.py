@@ -221,7 +221,10 @@ class DtAvodNet(nn.Module):
             batch["image"].reshape((b * f,) + batch["image"].shape[2:]))
         bev_feats = self.bev_tower(bev_flat).astype(jnp.float32)
         img_feats = self.img_tower(img_flat).astype(jnp.float32)
-        bev_bottle = self.bev_bottleneck(bev_feats)
+        # upsample the (1-ch) RPN bottleneck back to full BEV res so the
+        # anchor lattice stays integer-periodic (decode_stride = 2)
+        bev_bottle = _resize_to(self.bev_bottleneck(bev_feats),
+                                (bev_h, bev_w))
         img_bottle = self.img_bottleneck(img_feats)
 
         # path drop (reference rpn_model.create_path_drop_masks:931)
@@ -456,7 +459,8 @@ class DtAvodNet(nn.Module):
         bev_feats = self.bev_tower(maps.features).astype(jnp.float32)
         img_feats = self.img_tower(
             preprocess_image(batch["image"])).astype(jnp.float32)
-        bev_bottle = self.bev_bottleneck(bev_feats)
+        bev_bottle = _resize_to(self.bev_bottleneck(bev_feats),
+                                ku.bev_shape)
         img_bottle = self.img_bottleneck(img_feats)
 
         n_anchors = anchors.shape[1]
@@ -618,6 +622,14 @@ class DtAvodNet(nn.Module):
             "final_corr_offsets": jnp.take_along_axis(
                 corr_offsets, f_idx[:, 0][..., None], axis=1),
         }
+
+
+def _resize_to(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear-upsample (B, h, w, C) to (B, H, W, C) if needed."""
+    if x.shape[1:3] == tuple(hw):
+        return x
+    return jax.image.resize(x, (x.shape[0],) + tuple(hw) + x.shape[3:],
+                            method="bilinear")
 
 
 def _path_drop_masks(rnd: jnp.ndarray, p_img: float, p_bev: float):
