@@ -154,30 +154,14 @@ def build_bev_lattice(area_extents, anchor_stride, anchor_sizes,
                       mask_z_off=mask_z_off, n_cfg=n_cfg, crop_size=s)
 
 
-def _phase_view(fm: jnp.ndarray, p: int, pad_lo: int, pad_hi: int
-                ) -> jnp.ndarray:
-    """Edge-pad (H, W, C) by whole periods and transpose to phase-major
-    (p, p, H'/p, W'/p, C) so any static (phase, block-shift) tap is a
-    contiguous slice."""
-    h, w, c = fm.shape
-    fmp = jnp.pad(fm, ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)),
-                  mode="edge")
-    hp, wp = h + pad_lo + pad_hi, w + pad_lo + pad_hi
-    v = fmp.reshape(hp // p, p, wp // p, p, c)
-    return jnp.transpose(v, (1, 3, 0, 2, 4))
-
-
-def _tap(view: jnp.ndarray, p: int, pad_blocks: int, off_y: int,
-         off_x: int, nz: int, nx: int) -> jnp.ndarray:
-    """Value at lattice positions (p*iz + off_y, p*ix + off_x) for all
-    (iz, ix): one static slice of the phase view."""
-    ay, by = divmod(off_y + pad_blocks * p, p)
-    ax, bx = divmod(off_x + pad_blocks * p, p)
-    return view[by, bx, ay:ay + nz, ax:ax + nx]
-
-
 def dense_bev_rois(fm: jnp.ndarray, lat: BevLattice) -> jnp.ndarray:
     """All-anchor BEV ROI crops without gathers.
+
+    Separable formulation: bilinear sampling factors into a row pass
+    (sublane-strided slices + lerp, one per (config, i)) followed by a
+    column pass on the swapaxed intermediates — n_cfg*S strided slices
+    per axis instead of an (expensive on TPU) 5x5 phase-transpose
+    relayout of the whole map.
 
     Args:
       fm: (H, W, C) BEV bottleneck feature map.
@@ -187,37 +171,40 @@ def dense_bev_rois(fm: jnp.ndarray, lat: BevLattice) -> jnp.ndarray:
     """
     p = lat.period
     s = lat.crop_size
+    nz, nx, n_cfg = lat.nz, lat.nx, lat.n_cfg
+    c_ch = fm.shape[-1]
     max_off = max(int(np.max(np.abs(lat.row_off))) + 1,
                   int(np.max(np.abs(lat.col_off))) + 1)
-    pad_blocks = -(-max_off // p)
-    pad = pad_blocks * p
-    view = _phase_view(fm, p, pad, pad + p)   # extra block for +1 taps
+    pad = (-(-max_off // p)) * p
+    fmp = jnp.pad(fm, ((pad, pad + p), (pad, pad + p), (0, 0)),
+                  mode="edge")
 
-    cfg_maps = []
-    for c in range(lat.n_cfg):
-        rows = []
+    # row pass: (n_cfg*s) x (nz, Wp, C)
+    rows = []
+    for c in range(n_cfg):
         for i in range(s):
-            oy = int(lat.row_off[c, i])
+            oy = int(lat.row_off[c, i]) + pad
             fy = float(lat.row_frac[c, i])
-            cols = []
+            r0 = fmp[oy:oy + p * nz:p]
+            r1 = fmp[oy + 1:oy + 1 + p * nz:p]
+            rows.append(r0 + (r1 - r0) * fy)
+    rt = jnp.swapaxes(jnp.stack(rows), 1, 2)    # (n_cfg*s, Wp, nz, C)
+
+    # column pass: (n_cfg, s, s) x (nx, nz, C)
+    outs = []
+    for c in range(n_cfg):
+        for i in range(s):
+            ri = rt[c * s + i]
             for j in range(s):
-                ox = int(lat.col_off[c, j])
+                ox = int(lat.col_off[c, j]) + pad
                 fx = float(lat.col_frac[c, j])
-                tl = _tap(view, p, pad_blocks, oy, ox, lat.nz, lat.nx)
-                tr = _tap(view, p, pad_blocks, oy, ox + 1, lat.nz,
-                          lat.nx)
-                bl = _tap(view, p, pad_blocks, oy + 1, ox, lat.nz,
-                          lat.nx)
-                br = _tap(view, p, pad_blocks, oy + 1, ox + 1, lat.nz,
-                          lat.nx)
-                top = tl + (tr - tl) * fx
-                bot = bl + (br - bl) * fx
-                cols.append(top + (bot - top) * fy)   # (nz, nx, C)
-            rows.append(jnp.stack(cols, axis=2))      # (nz, nx, S, C)
-        cfg_maps.append(jnp.stack(rows, axis=2))      # (nz, nx, S, S, C)
-    out = jnp.stack(cfg_maps, axis=2)         # (nz, nx, n_cfg, S, S, C)
-    return out.reshape((lat.nz * lat.nx * lat.n_cfg, s, s,
-                        fm.shape[-1]))
+                c0 = ri[ox:ox + p * nx:p]
+                c1 = ri[ox + 1:ox + 1 + p * nx:p]
+                outs.append(c0 + (c1 - c0) * fx)
+    out = jnp.stack(outs)                       # (n_cfg*s*s, nx, nz, C)
+    out = out.reshape(n_cfg, s, s, nx, nz, c_ch)
+    out = jnp.transpose(out, (4, 3, 0, 1, 2, 5))  # (nz,nx,cfg,s,s,C)
+    return out.reshape((nz * nx * n_cfg, s, s, c_ch))
 
 
 def dense_occupancy_counts(integral_2d: jnp.ndarray, lat: BevLattice
@@ -240,29 +227,20 @@ def dense_occupancy_counts(integral_2d: jnp.ndarray, lat: BevLattice
 
     max_off = int(max(np.max(np.abs(lat.mask_x_off)),
                       np.max(np.abs(lat.mask_z_off)))) + p + 1
-    pad_blocks = -(-max_off // p)
-    pad = pad_blocks * p
+    pad = (-(-max_off // p)) * p
 
-    # Pad the (nxc+1, nzc+1) integral so that dims are multiples of p
-    # and any tap offset lands inside; edge mode == index clipping.
-    hx = nxc + 1 + 2 * pad
-    hz = nzc + 1 + 2 * pad
-    ex = (-hx) % p
-    ez = (-hz) % p
-    v = jnp.pad(integral_2d, ((pad, pad + ex), (pad, pad + ez)),
+    # Edge-replicated padding == index clipping on the monotone
+    # integral image; taps are separable strided slices.
+    v = jnp.pad(integral_2d, ((pad, pad + p), (pad, pad + p)),
                 mode="edge")
-    view = jnp.transpose(
-        v.reshape(v.shape[0] // p, p, v.shape[1] // p, p), (1, 3, 0, 2))
 
     def tap(off_x: int, off_z: int) -> jnp.ndarray:
         """integral[clip(p*ix + off_x), clip(p*jz + off_z)] for all
         (ix, jz); result returned in (iz, ix) order (jz flipped)."""
-        ax, bx = divmod(int(off_x) + pad, p)
-        az, bz = divmod(int(off_z) + pad, p)
-        assert 0 <= ax and ax + lat.nx <= view.shape[2], (ax, off_x)
-        assert 0 <= az and az + lat.nz <= view.shape[3], (az, off_z)
-        sl = view[bx, bz, ax:ax + lat.nx, az:az + lat.nz]  # (ix, jz)
-        return jnp.transpose(sl[:, ::-1])                  # (iz, ix)
+        ox = int(off_x) + pad
+        oz = int(off_z) + pad
+        sl = v[ox:ox + p * lat.nx:p, oz:oz + p * lat.nz:p]  # (ix, jz)
+        return jnp.transpose(sl[:, ::-1])                   # (iz, ix)
 
     outs = []
     for c in range(lat.n_cfg):
