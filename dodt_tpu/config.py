@@ -92,6 +92,9 @@ class FeatureExtractorConfig:
     # convs are layout-bound on TPU, and only the 1-channel RPN
     # bottleneck needs full resolution (it gets upsampled)
     decode_stride: int = 2
+    # False = plain VGG (reference bev_vgg/img_vgg: encoder + bilinear
+    # upsample of conv4, no skip decoder)
+    pyramid: bool = True
 
 
 @dataclass

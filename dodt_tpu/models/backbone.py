@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dodt_tpu.config import FeatureExtractorConfig
@@ -63,6 +64,20 @@ class VggPyramid(nn.Module):
         c2 = block(pool(c1), *cfg.conv2, name="conv2")
         c3 = block(pool(c2), *cfg.conv3, name="conv3")
         c4 = block(pool(c3), *cfg.conv4, name="conv4")
+
+        if not cfg.pyramid:
+            # plain VGG (reference bev_vgg.py / img_vgg.py): bilinear
+            # upsample of conv4 back to the output stride, no skips
+            out_h = (x.shape[1]) // cfg.decode_stride
+            out_w = (x.shape[2]) // cfg.decode_stride
+            f = jax.image.resize(
+                c4, (c4.shape[0], out_h, out_w, c4.shape[-1]),
+                method="bilinear")
+            sh = ph // cfg.decode_stride
+            sw = pw // cfg.decode_stride
+            if sh or sw:
+                f = f[:, sh:, sw:]
+            return f
 
         def up(h, ch, name):
             h = nn.ConvTranspose(ch, (3, 3), strides=(2, 2),

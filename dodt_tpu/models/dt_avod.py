@@ -79,6 +79,106 @@ class FcTrunk(nn.Module):
                      for i, d in enumerate(self.out_dims))
 
 
+def feature_fuse(a: jnp.ndarray, b: jnp.ndarray, wa, wb,
+                 method: str) -> jnp.ndarray:
+    """Masked two-branch feature fusion (reference
+    avod_fc_layer_utils.feature_fusion:20, mean | concat | max).
+
+    a, b: (..., D) features; wa, wb: broadcastable path-drop weights
+    (0. or 1. per sample). Inputs are pre-scaled by their weights.
+    """
+    a = a * wa
+    b = b * wb
+    if method == "concat":
+        return jnp.concatenate([a, b], axis=-1)
+    if method == "max":
+        return jnp.maximum(a, b)
+    return (a + b) / jnp.maximum(wa + wb, 1.0)       # mean
+
+
+class AvodTrunk(nn.Module):
+    """Second-stage FC trunk over (bev, img) ROI features with
+    early / late / deep fusion (reference fusion_fc_layers.py:136,
+    183, 236) and mean / concat / max feature fusion, followed by
+    linear output branches."""
+    sizes: Tuple[int, ...]
+    out_dims: Tuple[int, ...]
+    keep_prob: float = 0.5
+    fusion_type: str = "early"
+    fusion_method: str = "mean"
+
+    @nn.compact
+    def __call__(self, bev, img, wb, wi, train: bool):
+        drop = functools.partial(nn.Dropout, deterministic=not train)
+
+        if self.fusion_type == "late":
+            # separate per-modality stacks, fuse the last hiddens
+            hb, hi = bev, img
+            for i, s in enumerate(self.sizes):
+                hb = drop(1.0 - self.keep_prob)(
+                    nn.relu(nn.Dense(s, name=f"bev_fc{i}")(hb)))
+                hi = drop(1.0 - self.keep_prob)(
+                    nn.relu(nn.Dense(s, name=f"img_fc{i}")(hi)))
+            h = feature_fuse(hb, hi, wb, wi, self.fusion_method)
+        elif self.fusion_type == "deep":
+            # fuse at every layer, each branch consumes the fusion
+            hb, hi = bev * wb, img * wi
+            for i, s in enumerate(self.sizes):
+                h = feature_fuse(hb, hi, 1.0, 1.0, self.fusion_method) \
+                    if i else feature_fuse(bev, img, wb, wi,
+                                           self.fusion_method)
+                hb = drop(1.0 - self.keep_prob)(
+                    nn.relu(nn.Dense(s, name=f"bev_fc{i}")(h)))
+                hi = drop(1.0 - self.keep_prob)(
+                    nn.relu(nn.Dense(s, name=f"img_fc{i}")(h)))
+            h = feature_fuse(hb, hi, 1.0, 1.0, self.fusion_method)
+        else:                                        # early
+            h = feature_fuse(bev, img, wb, wi, self.fusion_method)
+            for i, s in enumerate(self.sizes):
+                h = drop(1.0 - self.keep_prob)(
+                    nn.relu(nn.Dense(s, name=f"fc{i}")(h)))
+        return tuple(nn.Dense(d, name=f"out{i}")(h)
+                     for i, d in enumerate(self.out_dims))
+
+
+# box-representation output sizes (reference
+# avod_fc_layer_utils.OFFSETS_OUTPUT_SIZE / ANG_VECS_OUTPUT_SIZE:3-17)
+OFFSETS_SIZE = {"box_3d": 6, "box_8c": 24, "box_8co": 24,
+                "box_4c": 10, "box_4ca": 10}
+ANGLE_SIZE = {"box_3d": 2, "box_8c": 0, "box_8co": 0,
+              "box_4c": 0, "box_4ca": 2}
+
+
+def encode_proposals(rep: str, prop_boxes_3d, top_anchors, gp4):
+    """Proposal encoding in the regression representation."""
+    if rep in ("box_4c", "box_4ca"):
+        return box_ops.box_3d_to_box_4c(prop_boxes_3d, gp4)
+    if rep in ("box_8c", "box_8co"):
+        c = box_ops.box_3d_to_box_8c(prop_boxes_3d)
+        return c.reshape(c.shape[:-2] + (24,))
+    return top_anchors                               # box_3d
+
+
+def decode_predictions(rep: str, prop_enc, box_offsets, angle_vecs,
+                       gp4):
+    """Apply predicted offsets in the chosen representation and return
+    (pred_boxes_3d, pred_orientations)."""
+    if rep in ("box_4c", "box_4ca"):
+        boxes = box_ops.box_4c_to_box_3d(prop_enc + box_offsets, gp4)
+    elif rep in ("box_8c", "box_8co"):
+        pred_c = (prop_enc + box_offsets).reshape(
+            prop_enc.shape[:-1] + (3, 8))
+        boxes = box_ops.box_8c_to_box_3d(pred_c)
+    else:                                            # box_3d
+        pred_anchor = box_ops.offset_to_anchor(prop_enc, box_offsets)
+        boxes = box_ops.anchors_to_box_3d(pred_anchor, fix_lw=True)
+    if angle_vecs is not None:
+        orient = box_ops.angle_vector_to_orientation(angle_vecs)
+    else:
+        orient = boxes[..., 6]
+    return boxes, orient
+
+
 class Bottleneck(nn.Module):
     """1x1 conv + norm + relu (rpn_model.py:251-267)."""
     channels: int
@@ -147,10 +247,16 @@ class DtAvodNet(nn.Module):
                                name="rpn_cls")
         self.rpn_reg = MlpHead(m.rpn.reg_fc_sizes, 6, m.rpn.keep_prob,
                                name="rpn_reg")
-        # box_4ca branch: cls / box_4c offsets (10) / angle vector (2)
-        self.avod_trunk = FcTrunk(m.avod.fc_layer_sizes,
-                                  (self.num_classes, 10, 2),
-                                  m.avod.keep_prob, name="avod_fc")
+        # representation branch: cls / offsets / [angle vector]
+        rep = m.avod.box_representation
+        out_dims = (self.num_classes, OFFSETS_SIZE[rep])
+        if ANGLE_SIZE[rep]:
+            out_dims = out_dims + (ANGLE_SIZE[rep],)
+        self.avod_trunk = AvodTrunk(m.avod.fc_layer_sizes, out_dims,
+                                    m.avod.keep_prob,
+                                    m.avod.fusion_type,
+                                    m.avod.fusion_method,
+                                    name="avod_fc")
         self.corr_head = MlpHead(m.avod.fc_layer_sizes, 3,
                                  m.avod.keep_prob, name="corr_fc")
 
@@ -264,9 +370,11 @@ class DtAvodNet(nn.Module):
                 img_bottle.reshape((b, f) + img_bottle.shape[1:]),
                 img_norm_yx)
 
-        fused = (bev_rois * bev_mask[:, None, None, None, None, None] +
-                 img_rois * img_mask[:, None, None, None, None, None])
-        fused = fused / fusion_div[:, None, None, None, None, None]
+        fused = feature_fuse(
+            bev_rois, img_rois,
+            bev_mask[:, None, None, None, None, None],
+            img_mask[:, None, None, None, None, None],
+            m.rpn.fusion_method)
         flat = fused.reshape(b * f * n_anchors, -1)
         objectness = self.rpn_cls(flat, train).reshape(b, f, n_anchors, 2)
         rpn_offsets = self.rpn_reg(flat, train).reshape(b, f, n_anchors, 6)
@@ -335,16 +443,17 @@ class DtAvodNet(nn.Module):
         ss_img_rois = jax.vmap(jax.vmap(crop2))(
             img_feats.reshape((b, f) + img_feats.shape[1:]), ss_img_yx)
 
-        ss_fused = (ss_bev_rois * bev_mask[:, None, None, None, None, None]
-                    + ss_img_rois
-                    * img_mask[:, None, None, None, None, None])
-        ss_fused = ss_fused / fusion_div[:, None, None, None, None, None]
-        k = ss_fused.shape[2]
-        cls_logits, box_offsets, angle_vecs = self.avod_trunk(
-            ss_fused.reshape(b * f * k, -1), train)
-        cls_logits = cls_logits.reshape(b, f, k, self.num_classes)
-        box_offsets = box_offsets.reshape(b, f, k, 10)
-        angle_vecs = angle_vecs.reshape(b, f, k, 2)
+        k = ss_bev_rois.shape[2]
+        rep = m.avod.box_representation
+        wb = jnp.repeat(bev_mask, f * k)[:, None]
+        wi = jnp.repeat(img_mask, f * k)[:, None]
+        branch = self.avod_trunk(ss_bev_rois.reshape(b * f * k, -1),
+                                 ss_img_rois.reshape(b * f * k, -1),
+                                 wb, wi, train)
+        cls_logits = branch[0].reshape(b, f, k, self.num_classes)
+        box_offsets = branch[1].reshape(b, f, k, OFFSETS_SIZE[rep])
+        angle_vecs = (branch[2].reshape(b, f, k, 2)
+                      if ANGLE_SIZE[rep] else None)
 
         # correlation head on frame-0 proposals
         if corr_bottle is not None:
@@ -353,13 +462,12 @@ class DtAvodNet(nn.Module):
                 corr_rois.reshape(b * k, -1), train).reshape(b, k, 3)
             out["corr_pred"] = corr_offsets
 
-        # decode box_4ca: proposals -> box_4c + offsets -> box_3d
+        # decode in the configured representation
         prop_boxes_3d = box_ops.anchors_to_box_3d(top_anchors, fix_lw=True)
         gp4 = batch["ground_plane"][:, None, None, :]
-        prop_4c = box_ops.box_3d_to_box_4c(prop_boxes_3d, gp4)
-        pred_4c = prop_4c + box_offsets
-        pred_boxes_3d = box_ops.box_4c_to_box_3d(pred_4c, gp4)
-        pred_orientations = box_ops.angle_vector_to_orientation(angle_vecs)
+        prop_enc = encode_proposals(rep, prop_boxes_3d, top_anchors, gp4)
+        pred_boxes_3d, pred_orientations = decode_predictions(
+            rep, prop_enc, box_offsets, angle_vecs, gp4)
 
         # final NMS per frame on highest non-bkg score
         pred_anchors = box_ops.box_3d_to_anchor(pred_boxes_3d,
@@ -384,7 +492,7 @@ class DtAvodNet(nn.Module):
 
         out.update({
             "proposal_boxes_3d": prop_boxes_3d,
-            "proposal_4c": prop_4c,
+            "proposal_enc": prop_enc,
             "cls_logits": cls_logits,
             "box_offsets": box_offsets,
             "angle_vectors": angle_vecs,
@@ -480,9 +588,12 @@ class DtAvodNet(nn.Module):
         k_fuse = m.rpn.fusion_top_k
         if k_fuse and k_fuse < n_anchors:
             # two-pass fusion: rank anchors by the BEV-only head score
-            # (dense, gather-free), fuse image evidence only for the
-            # top-K candidates — image ROI gathers drop ~10x.
-            obj1 = self.rpn_cls(bev_flat.reshape(b * n_anchors, -1),
+            # (dense, gather-free, image branch treated as path-dropped),
+            # fuse image evidence only for the top-K candidates — image
+            # ROI gathers drop ~10x.
+            pass1 = feature_fuse(bev_flat, jnp.zeros_like(bev_flat),
+                                 1.0, 0.0, m.rpn.fusion_method)
+            obj1 = self.rpn_cls(pass1.reshape(b * n_anchors, -1),
                                 False).reshape(b, n_anchors, 2)
             s1 = jax.nn.softmax(obj1, axis=-1)[..., 1]
             s1 = jnp.where(anchor_valid, s1, -1e9)
@@ -502,7 +613,8 @@ class DtAvodNet(nn.Module):
         _, img_norm = jax.vmap(project_to_image_space)(
             cand_anchors, batch["p2"], img_shapes)
         img_rois = jax.vmap(crop)(img_bottle, reorder_boxes_yx(img_norm))
-        fused = (bev_sel + img_rois.reshape(b, k_fuse, -1)) / 2.0
+        fused = feature_fuse(bev_sel, img_rois.reshape(b, k_fuse, -1),
+                             1.0, 1.0, m.rpn.fusion_method)
         flat = fused.reshape(b * k_fuse, -1)
         objectness = self.rpn_cls(flat, False).reshape(b, k_fuse, 2)
         rpn_offsets = self.rpn_reg(flat, False).reshape(b, k_fuse, 6)
@@ -570,13 +682,15 @@ class DtAvodNet(nn.Module):
             [state_a["img_feats"], state_b["img_feats"]], axis=1)
         ss_bev_rois = jax.vmap(jax.vmap(crop2))(bev_feats_bf, ss_bev_yx)
         ss_img_rois = jax.vmap(jax.vmap(crop2))(img_feats_bf, ss_img_yx)
-        ss_fused = (ss_bev_rois + ss_img_rois) / 2.0
 
-        cls_logits, box_offsets, angle_vecs = self.avod_trunk(
-            ss_fused.reshape(b * f * k, -1), False)
-        cls_logits = cls_logits.reshape(b, f, k, self.num_classes)
-        box_offsets = box_offsets.reshape(b, f, k, 10)
-        angle_vecs = angle_vecs.reshape(b, f, k, 2)
+        rep = m.avod.box_representation
+        branch = self.avod_trunk(ss_bev_rois.reshape(b * f * k, -1),
+                                 ss_img_rois.reshape(b * f * k, -1),
+                                 1.0, 1.0, False)
+        cls_logits = branch[0].reshape(b, f, k, self.num_classes)
+        box_offsets = branch[1].reshape(b, f, k, OFFSETS_SIZE[rep])
+        angle_vecs = (branch[2].reshape(b, f, k, 2)
+                      if ANGLE_SIZE[rep] else None)
 
         corr_rois = jax.vmap(crop2)(corr_bottle, ss_bev_yx[:, 0])
         corr_offsets = self.corr_head(
@@ -585,10 +699,10 @@ class DtAvodNet(nn.Module):
         prop_boxes_3d = box_ops.anchors_to_box_3d(top_anchors,
                                                   fix_lw=True)
         gp4 = gp[:, None, None, :]
-        prop_4c = box_ops.box_3d_to_box_4c(prop_boxes_3d, gp4)
-        pred_4c = prop_4c + box_offsets
-        pred_boxes_3d = box_ops.box_4c_to_box_3d(pred_4c, gp4)
-        pred_orient = box_ops.angle_vector_to_orientation(angle_vecs)
+        prop_enc = encode_proposals(rep, prop_boxes_3d, top_anchors,
+                                    gp4)
+        pred_boxes_3d, pred_orient = decode_predictions(
+            rep, prop_enc, box_offsets, angle_vecs, gp4)
 
         pred_anchors = box_ops.box_3d_to_anchor(pred_boxes_3d,
                                                 ortho_rotate=True)
@@ -709,12 +823,18 @@ def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
         gt_bev, gt_anchors, gt_classes, gt_valid, rngs[:, :, 0])
 
     # ---------------- second stage ------------------------------------
+    rep = cfg.model.avod.box_representation
     top_anchors = outputs["top_anchors"]             # (B, F, K, 6)
     top_bev, _ = project_to_bev(top_anchors, bev_extents)
-    prop_4c = outputs["proposal_4c"]
+    prop_enc = outputs["proposal_enc"]
     gp = batch["ground_plane"]
+    ang_pred = outputs["angle_vectors"]
+    if ang_pred is None:
+        ang_pred = jnp.zeros(top_anchors.shape[:3] + (2,))
+    have_angle = float(bool(ANGLE_SIZE[rep]))
 
-    def avod_loss_one(top_bev_1, top_valid_1, prop_4c_1, cls_1, off_1,
+    def avod_loss_one(top_bev_1, top_valid_1, prop_enc_1, top_anchor_1,
+                      cls_1, off_1,
                       ang_1, gt_bev_1, gt_boxes_1, gt_cls_1, gt_valid_1,
                       gp_1, corr_pred_1, corr_gt_1, coexist_1, key,
                       use_corr):
@@ -739,10 +859,19 @@ def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
         ce = -jnp.sum(onehot * logp, axis=-1)
         cls_loss = jnp.sum(ce * sel) * lw.cls_loss_weight / num_sel
 
-        # box_4c offsets targets
+        # regression targets in the configured representation
         gt_best = gt_boxes_1[gt_index]               # (K, 7)
-        gt_4c = box_ops.box_3d_to_box_4c(gt_best, gp_1[None, :])
-        off_gt = gt_4c - prop_4c_1
+        if rep in ("box_4c", "box_4ca"):
+            gt_enc = box_ops.box_3d_to_box_4c(gt_best, gp_1[None, :])
+        elif rep in ("box_8c", "box_8co"):
+            c8 = box_ops.box_3d_to_box_8c(gt_best)
+            gt_enc = c8.reshape(c8.shape[:-2] + (24,))
+        else:                                        # box_3d
+            gt_enc = box_ops.box_3d_to_anchor(gt_best, ortho_rotate=True)
+        if rep == "box_3d":
+            off_gt = box_ops.anchor_to_offset(prop_enc_1, gt_enc)
+        else:
+            off_gt = gt_enc - prop_enc_1
         reg = loss_ops.weighted_smooth_l1(off_1, off_gt,
                                           pos.astype(jnp.float32))
         reg_loss = jnp.sum(reg) * lw.reg_loss_weight / num_pos
@@ -750,7 +879,8 @@ def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
         ang_gt = box_ops.orientation_to_angle_vector(gt_best[:, 6])
         ang = loss_ops.weighted_smooth_l1(ang_1, ang_gt,
                                           pos.astype(jnp.float32))
-        ang_loss = jnp.sum(ang) * lw.ang_loss_weight / num_pos
+        ang_loss = (jnp.sum(ang) * lw.ang_loss_weight / num_pos
+                    * have_angle)
 
         # correlation loss (frame 0 only): targets gathered by matched GT
         corr_gt_k = corr_gt_1[gt_index]              # (K, 3)
@@ -778,10 +908,12 @@ def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
 
     avod_cls, avod_reg, avod_ang, corr_l = jax.vmap(jax.vmap(
         avod_loss_one,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0, None, None, 0, 0)),
-        in_axes=(0,) * 10 + (0,) + (0, 0, 0, 0, None))(
-        top_bev, outputs["top_valid"], prop_4c, outputs["cls_logits"],
-        outputs["box_offsets"], outputs["angle_vectors"], gt_bev,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0, None, None,
+                 0, 0)),
+        in_axes=(0,) * 11 + (0,) + (0, 0, 0, 0, None))(
+        top_bev, outputs["top_valid"], prop_enc, top_anchors,
+        outputs["cls_logits"],
+        outputs["box_offsets"], ang_pred, gt_bev,
         gt_boxes, gt_classes, gt_valid, gp, corr_pred_bf, corr_gt,
         coexist, rngs[:, :, 1], use_corr)
 
