@@ -283,6 +283,40 @@ def cars_single_frame() -> PipelineConfig:
     return cfg
 
 
+def pedestrians_dt_tracking(data_stride: int = 1) -> PipelineConfig:
+    """Pedestrian preset (parity target: pyramid_people/pedestrian
+    configs + configs/mb_preprocessing/rpn_pedestrians.config: one
+    size cluster, tighter mini-batch IoU ranges, smaller area z)."""
+    cfg = PipelineConfig()
+    cfg.dataset.data_stride = data_stride
+    cfg.dataset.classes = ("Pedestrian",)
+    cfg.dataset.num_clusters = (1,)
+    cfg.dataset.mini_batch.rpn_neg_iou_range = (0.0, 0.3)
+    cfg.dataset.mini_batch.rpn_pos_iou_range = (0.45, 1.0)
+    cfg.dataset.mini_batch.avod_neg_iou_range = (0.0, 0.45)
+    cfg.dataset.mini_batch.avod_pos_iou_range = (0.55, 1.0)
+    cfg.model.checkpoint_name = "dodt_tpu_pedestrians"
+    return cfg
+
+
+def cyclists_dt_tracking(data_stride: int = 1) -> PipelineConfig:
+    """Cyclist preset (rpn_cyclists.config equivalent)."""
+    cfg = pedestrians_dt_tracking(data_stride)
+    cfg.dataset.classes = ("Cyclist",)
+    cfg.model.checkpoint_name = "dodt_tpu_cyclists"
+    return cfg
+
+
+def people_dt_tracking(data_stride: int = 1) -> PipelineConfig:
+    """Joint Pedestrian+Cyclist preset (rpn_people.config
+    equivalent): multi-class head with per-class size clusters."""
+    cfg = pedestrians_dt_tracking(data_stride)
+    cfg.dataset.classes = ("Pedestrian", "Cyclist")
+    cfg.dataset.num_clusters = (1, 1)
+    cfg.model.checkpoint_name = "dodt_tpu_people"
+    return cfg
+
+
 def unittest_pipeline() -> PipelineConfig:
     """Small config for tests: tiny area, reduced capacities."""
     cfg = PipelineConfig()

@@ -29,7 +29,9 @@ import numpy as np
 from dodt_tpu.config import PipelineConfig
 from dodt_tpu.models.backbone import VggPyramid, preprocess_image
 from dodt_tpu.models.dt_avod import (Bottleneck, FcTrunk, MlpHead,
-                                     _path_drop_masks)
+                                     _path_drop_masks, _resize_to)
+from dodt_tpu.ops.dense_rpn import (build_bev_lattice, dense_bev_rois,
+                                    dense_empty_anchor_mask)
 from dodt_tpu.ops import boxes as box_ops
 from dodt_tpu.ops import losses as loss_ops
 from dodt_tpu.ops import nms as nms_ops
@@ -131,11 +133,19 @@ class StackAvodNet(nn.Module):
             tile_anchors_3d(area, sizes, ku.anchor_strides, gp)))(
                 batch["ground_plane"])
         n_anchors = anchors.shape[1]
+        lattice = build_bev_lattice(
+            ku.area_extents, ku.anchor_strides, self.cluster_sizes,
+            ku.bev_shape, ku.voxel_size, m.rpn.proposal_roi_crop_size)
         integral = jax.vmap(integral_image_2d)(int_maps.occupancy)
-        anchor_valid = jax.vmap(
-            lambda ii, anc: empty_anchor_mask(
-                ii, anc, bev_extents, ku.voxel_size,
-                ku.density_threshold))(integral, anchors)   # (B, N)
+        if lattice is not None:
+            anchor_valid = jax.vmap(
+                lambda ii: dense_empty_anchor_mask(
+                    ii, lattice, ku.density_threshold))(integral)
+        else:
+            anchor_valid = jax.vmap(
+                lambda ii, anc: empty_anchor_mask(
+                    ii, anc, bev_extents, ku.voxel_size,
+                    ku.density_threshold))(integral, anchors)  # (B, N)
 
         # towers
         bev_feats = self.bev_tower(
@@ -148,7 +158,8 @@ class StackAvodNet(nn.Module):
             batch["image"].reshape((b * f,) + batch["image"].shape[2:]))
         img_feats = self.img_tower(img_flat).astype(jnp.float32)
 
-        int_bottle = self.bev_bottleneck(int_feats)       # (B, H, W, 1)
+        int_bottle = _resize_to(self.bev_bottleneck(int_feats),
+                                ku.bev_shape)             # (B, H, W, 1)
         img_bottle = self.img_bottleneck(img_feats)       # (B*F, ...)
         img_bottle0 = img_bottle.reshape(
             (b, f) + img_bottle.shape[1:])[:, 0]
@@ -169,7 +180,12 @@ class StackAvodNet(nn.Module):
             anchors, batch["p2"], img_shapes)
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size)
-        bev_rois = jax.vmap(crop)(int_bottle, reorder_boxes_yx(bev_norm))
+        if lattice is not None:
+            bev_rois = jax.vmap(
+                lambda fm1: dense_bev_rois(fm1, lattice))(int_bottle)
+        else:
+            bev_rois = jax.vmap(crop)(int_bottle,
+                                      reorder_boxes_yx(bev_norm))
         img_rois = jax.vmap(crop)(img_bottle0,
                                   reorder_boxes_yx(img_norm))
         fused = (bev_rois * bev_mask[:, None, None, None, None] +

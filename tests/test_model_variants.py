@@ -102,3 +102,24 @@ def test_feature_fuse_semantics():
     assert cat.shape == (4, 6)
     mx = dt_avod.feature_fuse(a, b, 1.0, 1.0, "max")
     np.testing.assert_allclose(np.array(mx), 4.0)
+
+
+def test_multiclass_people(data):
+    cfg = _cfg(data)
+    cfg.dataset.classes = ("Car", "Pedestrian")
+    cfg.dataset.num_clusters = (1, 1)
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="train")
+    model = dt_avod.DtAvodNet(
+        cfg=cfg, cluster_sizes=((3.9, 1.6, 1.52), (0.8, 0.6, 1.73)))
+    batch = ds.next_batch(1, shuffle=False, augment=False)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng, "pathdrop": rng},
+        batch, train=False, mode="val")
+    out = model.apply(variables, batch, train=False, mode="val")
+    assert out["cls_logits"].shape[-1] == 3      # bkg + 2 classes
+    assert out["final_cls_softmax"].shape[-1] == 3
+    total, _ = dt_avod.compute_losses(cfg, out, batch, rng)
+    assert np.isfinite(float(total))
