@@ -95,6 +95,9 @@ class FeatureExtractorConfig:
     # False = plain VGG (reference bev_vgg/img_vgg: encoder + bilinear
     # upsample of conv4, no skip decoder)
     pyramid: bool = True
+    # "none" matches the reference (plain conv+relu, no normalization)
+    # and is ~3x faster on TPU; "gn" adds GroupNorm after every conv
+    norm: str = "none"
 
 
 @dataclass
