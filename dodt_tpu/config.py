@@ -98,6 +98,10 @@ class FeatureExtractorConfig:
     # "none" matches the reference (plain conv+relu, no normalization)
     # and is ~3x faster on TPU; "gn" adds GroupNorm after every conv
     norm: str = "none"
+    # run the full-resolution conv1 block in space-to-depth layout
+    # (exact same function, MXU-friendly channel counts); only applies
+    # with decode_stride=2, where full-res c1 is never needed
+    s2d_stem: bool = True
 
 
 @dataclass

@@ -20,6 +20,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dodt_tpu.config import FeatureExtractorConfig
 
@@ -30,6 +31,61 @@ def _norm(ch: int, dtype, kind: str = "none"):
     if kind == "gn":
         return nn.GroupNorm(num_groups=min(8, ch), dtype=dtype)
     return lambda x: x
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth stem: full-resolution 3x3 convs with few channels are
+# layout-bound on TPU (e.g. 6->32 at 704x800 runs at <1 TFLOP/s). The
+# same function expressed on the (H/2, W/2, 4C) space-to-depth layout
+# is a 2x2 conv with 4x the channels — MXU-friendly. The kernel is the
+# standard (3,3,Ci,Co) parameter scattered into a (2,2,4Ci,4Co) layout,
+# so parameters, receptive field and outputs are EXACTLY those of the
+# standard conv (incl. SAME zero-padding, enforced by phase masks).
+# ---------------------------------------------------------------------------
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel layout (ay, ax, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // 2, w // 2, 4 * c)
+
+
+def s2d_kernel_3x3(k: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a (3, 3, Ci, Co) kernel into the equivalent
+    (2, 2, 4Ci, 4Co) space-to-depth kernel for offset-0 indexing
+    (y[p] = sum_d k[d] x[p + d] on a pre-padded input)."""
+    ci, co = k.shape[2], k.shape[3]
+    k2 = jnp.zeros((2, 2, 2, 2, ci, 2, 2, co), k.dtype)
+    for a in range(2):
+        for b in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ey, ay = divmod(a + dy, 2)
+                    ex, ax = divmod(b + dx, 2)
+                    k2 = k2.at[ey, ex, ay, ax, :, a, b, :].set(
+                        k[dy, dx])
+    return k2.reshape(2, 2, 4 * ci, 4 * co)
+
+
+def _s2d_range_mask(n_blocks: int, lo: int, hi: int) -> np.ndarray:
+    """(n_blocks, 2) 0/1 mask of original positions in [lo, hi)."""
+    pos = np.arange(n_blocks * 2).reshape(n_blocks, 2)
+    return ((pos >= lo) & (pos < hi)).astype(np.float32)
+
+
+def _zero_outside(y: jnp.ndarray, h0: int, h1: int, w0: int, w1: int,
+                  orig_h0: int, orig_w0: int) -> jnp.ndarray:
+    """Zero original positions outside [h0, h1) x [w0, w1) where the
+    s2d array's block origin corresponds to original position
+    (orig_h0, orig_w0)."""
+    b, hb, wb, c4 = y.shape
+    rm = _s2d_range_mask(hb, h0 - orig_h0, h1 - orig_h0)  # (hb, 2)
+    cm = _s2d_range_mask(wb, w0 - orig_w0, w1 - orig_w0)  # (wb, 2)
+    yv = y.reshape(b, hb, wb, 2, 2, c4 // 4)
+    yv = yv * jnp.asarray(rm, y.dtype)[None, :, None, :, None, None]
+    yv = yv * jnp.asarray(cm, y.dtype)[None, None, :, None, :, None]
+    return yv.reshape(b, hb, wb, c4)
 
 
 class VggPyramid(nn.Module):
@@ -64,8 +120,42 @@ class VggPyramid(nn.Module):
         def pool(h):
             return nn.max_pool(h, (2, 2), strides=(2, 2))
 
-        c1 = block(x, *cfg.conv1, name="conv1")
-        c2 = block(pool(c1), *cfg.conv2, name="conv2")
+        use_s2d = (cfg.s2d_stem and cfg.decode_stride == 2
+                   and cfg.pyramid and cfg.norm == "none")
+        if use_s2d:
+            # conv1 block + pool evaluated in space-to-depth layout
+            # (exact function, see s2d_kernel_3x3); full-res c1 is
+            # never materialized (unused at decode_stride 2)
+            n = cfg.conv1[0]
+            ch = cfg.conv1[1]
+            h_in, w_in = x.shape[1], x.shape[2]
+            hs = space_to_depth(jnp.pad(
+                x, ((0, 0), (n, n), (n, n), (0, 0))))
+            origin = -n
+            for i in range(n):
+                cin = hs.shape[-1] // 4
+                kern = self.param(f"conv1_{i}_kernel",
+                                  nn.initializers.lecun_normal(),
+                                  (3, 3, cin, ch), jnp.float32)
+                bias = self.param(f"conv1_{i}_bias",
+                                  nn.initializers.zeros, (ch,),
+                                  jnp.float32)
+                ks2d = s2d_kernel_3x3(kern.astype(self.dtype))
+                hs = jax.lax.conv_general_dilated(
+                    hs, ks2d, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                origin += 1
+                hs = nn.relu(hs + jnp.tile(bias, 4).astype(self.dtype))
+                if i < n - 1:
+                    hs = _zero_outside(hs, 0, h_in, 0, w_in,
+                                       origin, origin)
+            bb, hb, wb, _ = hs.shape
+            c1p = hs.reshape(bb, hb, wb, 2, 2, ch).max(axis=(3, 4))
+            c1 = None
+        else:
+            c1 = block(x, *cfg.conv1, name="conv1")
+            c1p = pool(c1)
+        c2 = block(c1p, *cfg.conv2, name="conv2")
         c3 = block(pool(c2), *cfg.conv3, name="conv3")
         c4 = block(pool(c3), *cfg.conv4, name="conv4")
 
