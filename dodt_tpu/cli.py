@@ -98,6 +98,71 @@ def cmd_infer(args):
     }))
 
 
+def cmd_demo(args):
+    """Qualitative demos (reference demos/kitti_bev_vis.py,
+    demos/generate_anchors.py, demos/dataset/* statistics)."""
+    import os
+    import jax.numpy as jnp
+    from dodt_tpu.ops.voxel import bev_maps_from_points
+    from dodt_tpu.ops import boxes as box_ops
+    from dodt_tpu.ops.anchors import tile_anchors_3d
+    from dodt_tpu import viz
+
+    cfg, ds, model = _build(args.config, args.split)
+    os.makedirs(args.output_dir, exist_ok=True)
+    ku = cfg.dataset.kitti_utils
+    bg = ku.bev_generator
+    sample = ds.load_couple(args.sample)
+
+    maps = bev_maps_from_points(
+        jnp.asarray(sample["points"][0]),
+        jnp.asarray(sample["points_valid"][0]),
+        jnp.asarray(sample["ground_plane"]),
+        area_extents=np.asarray(ku.area_extents, np.float32),
+        voxel_size=ku.voxel_size, height_lo=bg.height_lo,
+        height_hi=bg.height_hi, num_slices=bg.num_slices)
+    gt = sample["gt_boxes"][0][sample["gt_valid"][0]]
+    bev_png = viz.draw_bev(np.asarray(maps.features), ku.area_extents,
+                           gt_boxes=gt,
+                           path=os.path.join(args.output_dir,
+                                             "bev_sample.png"))
+
+    # anchor grid demo: every 250th anchor footprint over the BEV
+    anchors3d = np.asarray(tile_anchors_3d(
+        np.asarray(ku.area_extents, np.float32),
+        np.asarray([[3.9, 1.6, 1.52]], np.float32),
+        ku.anchor_strides, sample["ground_plane"]))
+    anchor_png = viz.draw_bev(
+        np.asarray(maps.features), ku.area_extents,
+        pred_boxes=anchors3d[::250],
+        path=os.path.join(args.output_dir, "anchor_grid.png"))
+
+    # dataset statistics (reference demos/dataset/{car_clustering,
+    # data_histograms}.py): per-class counts + size means
+    stats = {}
+    seen = set()
+    for cp in ds.couples:
+        for frame in (cp.frame_a, cp.frame_b):
+            if (cp.video_id, frame) in seen:
+                continue
+            seen.add((cp.video_id, frame))
+            lab = ds.labels(cp.video_id, frame)
+            for i, t in enumerate(lab.types):
+                s = stats.setdefault(t, {"count": 0, "lwh_sum":
+                                         np.zeros(3)})
+                s["count"] += 1
+                s["lwh_sum"] += lab.box_3d[i, 3:6]
+    out_stats = {t: {"count": s["count"],
+                     "mean_lwh": (s["lwh_sum"] / max(s["count"], 1)
+                                  ).round(3).tolist()}
+                 for t, s in stats.items()}
+    with open(os.path.join(args.output_dir, "dataset_stats.json"),
+              "w") as f:
+        json.dump(out_stats, f, indent=2)
+    print(json.dumps({"bev": bev_png, "anchors": anchor_png,
+                      "stats": out_stats}, indent=2))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("dodt_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -126,6 +191,13 @@ def main(argv=None):
     i.add_argument("--step", type=int, default=None)
     i.add_argument("--max_samples", type=int, default=200)
     i.set_defaults(fn=cmd_infer)
+
+    d = sub.add_parser("demo")
+    d.add_argument("--config", default=None)
+    d.add_argument("--output_dir", default="demo_out")
+    d.add_argument("--split", default="train")
+    d.add_argument("--sample", type=int, default=0)
+    d.set_defaults(fn=cmd_demo)
 
     args = p.parse_args(argv)
     return args.fn(args)

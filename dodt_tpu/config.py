@@ -202,6 +202,8 @@ class TrainConfig:
     pretrained_checkpoint: Optional[str] = None
     pretrained_subtrees: Tuple[str, ...] = ()
     frozen_subtrees: Tuple[str, ...] = ()
+    # numeric sanitizer: raise at the op producing a NaN (jax_debug_nans)
+    debug_nans: bool = False
 
 
 @dataclass

@@ -206,6 +206,12 @@ class Trainer:
         self.batch_size = batch_size
         self.ckpt = CheckpointIO(ckpt_dir,
                                  cfg.train.max_checkpoints_to_keep)
+        if cfg.train.debug_nans:
+            # numeric-sanitizer mode (the reference has none; nearest
+            # analogue is tf.assert_positive in losses): every jit
+            # re-runs in op-by-op mode on a NaN and raises at the
+            # producing op
+            jax.config.update("jax_debug_nans", True)
         self.step_fn = make_train_step(cfg, model, mesh)
         self.rng = jax.random.PRNGKey(42)
 

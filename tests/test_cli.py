@@ -60,3 +60,18 @@ def test_build_dispatch(roots, tmp_path):
         assert isinstance(model, model_cls), name
         if frames is not None and isinstance(model, DtAvodNet):
             assert model.num_frames == frames
+
+
+def test_demo_command(roots, tmp_path):
+    t_root, _ = roots
+    cfg = _tiny(t_root, "dt_avod_model")
+    cfg_path = str(tmp_path / "demo_cfg.json")
+    cfg.save(cfg_path)
+    out_dir = str(tmp_path / "demo_out")
+    from dodt_tpu import cli
+    cli.main(["demo", "--config", cfg_path, "--output_dir", out_dir,
+              "--sample", "0"])
+    import os
+    assert os.path.exists(os.path.join(out_dir, "bev_sample.png"))
+    assert os.path.exists(os.path.join(out_dir, "anchor_grid.png"))
+    assert os.path.exists(os.path.join(out_dir, "dataset_stats.json"))
