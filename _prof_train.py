@@ -51,7 +51,7 @@ opt_state = jax.jit(tx.init)(params)
 def step(params, opt_state, batch, key):
     def loss_fn(p):
         out = model.apply({"params": p}, batch, train=True, mode="train",
-                          rngs={"dropout": key, "pathdrop": key})
+                          rngs={"dropout": key, "pathdrop": key, "sampling": key})
         total, parts = compute_losses(cfg, out, batch, key)
         return total, parts
     (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

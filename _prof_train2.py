@@ -37,7 +37,7 @@ params = variables["params"]
 
 def loss_fn(p):
     out = model.apply({"params": p}, batch, train=True, mode="train",
-                      rngs={"dropout": key, "pathdrop": key})
+                      rngs={"dropout": key, "pathdrop": key, "sampling": key})
     total, _ = compute_losses(cfg, out, batch, key)
     return total
 

@@ -343,16 +343,8 @@ class DtAvodNet(nn.Module):
             bev_mask = jnp.ones((b,))
         fusion_div = img_mask + bev_mask               # (B,)
 
-        # ---------------- RPN: all-anchor ROI scoring -------------------
-        _, bev_norm = project_to_bev(anchors, bev_extents)     # (B, N, 4)
+        # ---------------- RPN -------------------------------------------
         img_shapes = batch["orig_image_shape"].astype(jnp.float32)
-        _, img_norm = jax.vmap(
-            lambda anc, p2, sh: project_to_image_space(anc, p2, sh))(
-                anchors, batch["p2"], img_shapes)
-
-        bev_norm_yx = reorder_boxes_yx(bev_norm)
-        img_norm_yx = reorder_boxes_yx(img_norm)
-
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size)
         # (B, F, N, s, s, C)
@@ -361,58 +353,164 @@ class DtAvodNet(nn.Module):
                 lambda fm1: dense_bev_rois(fm1, lattice)))(
                     bev_bottle.reshape((b, f) + bev_bottle.shape[1:]))
         else:
+            _, bev_norm = project_to_bev(anchors, bev_extents)
             bev_rois = jax.vmap(lambda fm, bx: jax.vmap(
                 lambda fm1: crop(fm1, bx))(fm))(
                     bev_bottle.reshape((b, f) + bev_bottle.shape[1:]),
-                    bev_norm_yx)
-        img_rois = jax.vmap(lambda fm, bx: jax.vmap(
-            lambda fm1: crop(fm1, bx))(fm))(
-                img_bottle.reshape((b, f) + img_bottle.shape[1:]),
-                img_norm_yx)
-
-        fused = feature_fuse(
-            bev_rois, img_rois,
-            bev_mask[:, None, None, None, None, None],
-            img_mask[:, None, None, None, None, None],
-            m.rpn.fusion_method)
-        flat = fused.reshape(b * f * n_anchors, -1)
-        objectness = self.rpn_cls(flat, train).reshape(b, f, n_anchors, 2)
-        rpn_offsets = self.rpn_reg(flat, train).reshape(b, f, n_anchors, 6)
-
-        # decode + NMS
-        proposals = box_ops.offset_to_anchor(
-            anchors[:, None], rpn_offsets)             # (B, F, N, 6)
-        _, prop_bev_norm = project_to_bev(proposals, bev_extents)
-        obj_scores = jax.nn.softmax(objectness, axis=-1)[..., 1]
-        obj_scores = jnp.where(anchor_valid, obj_scores, -1.0)
+                    reorder_boxes_yx(bev_norm))
+        bev_flat = bev_rois.reshape(b, f, n_anchors, -1)
+        img_bf = img_bottle.reshape((b, f) + img_bottle.shape[1:])
 
         k_rpn = (m.rpn.train_nms_size if mode == "train"
                  else m.rpn.test_nms_size)
-        pre_k = min(4 * k_rpn, n_anchors)
+        k_fuse = m.rpn.fusion_top_k
+        two_pass = bool(k_fuse) and k_fuse < n_anchors
+        out = {"anchors": anchors, "anchor_valid": anchor_valid,
+               "bev_input": bev_input,
+               "img_mask": img_mask, "bev_mask": bev_mask}
+
+        if two_pass:
+            # Two-pass fusion (see encode_frame): rank all anchors by
+            # the dense BEV-only head score, gather image ROIs only for
+            # the top-K candidates. In train mode the RPN mini-batch is
+            # sampled HERE (IoU-based, score-free) and appended to the
+            # interest set, so the loss sees exactly-fused features for
+            # every sampled anchor while image gathers drop ~10x.
+            rank_feats = feature_fuse(
+                jax.lax.stop_gradient(bev_flat),
+                jnp.zeros_like(bev_flat),
+                bev_mask[:, None, None, None], 0.0, m.rpn.fusion_method)
+            obj1 = self.rpn_cls(
+                rank_feats.reshape(b * f * n_anchors, -1),
+                False).reshape(b, f, n_anchors, 2)
+            s1 = jax.nn.softmax(obj1, axis=-1)[..., 1]
+            s1 = jnp.where(anchor_valid, s1, -1e9)
+            _, cand_idx = jax.lax.approx_max_k(s1, k_fuse)   # (B,F,K)
+            interest = cand_idx
+
+            sample_mb = train and "gt_boxes" in batch
+            if sample_mb:
+                mbc = cfg.dataset.mini_batch
+                s_mb = mbc.rpn_mini_batch_size
+                gt_anchors_mb = box_ops.box_3d_to_anchor(
+                    batch["gt_boxes"], ortho_rotate=True)
+                gt_bev_mb, _ = project_to_bev(gt_anchors_mb,
+                                              bev_extents)
+                anchors_bev_mb, _ = project_to_bev(anchors, bev_extents)
+                keys = jax.random.split(
+                    self.make_rng("sampling"), b * f).reshape(b, f, 2)
+
+                def mb_one(abev, anc, valid, gbev, ganc, gcls, gvalid,
+                           key):
+                    tgt = sampling.assign_targets(abev, anc, gbev,
+                                                  ganc, gcls, gvalid)
+                    miou = jnp.where(valid, tgt.max_iou, 0.0)
+                    sel, pos = sampling.sample_mini_batch(
+                        key, miou, s_mb, mbc.rpn_neg_iou_range,
+                        mbc.rpn_pos_iou_range)
+                    sel &= valid
+                    pos &= valid
+                    _, idx = jax.lax.top_k(sel.astype(jnp.float32),
+                                           s_mb)
+                    idx = idx.astype(jnp.int32)
+                    return idx, sel[idx], pos[idx], tgt.offsets[idx]
+
+                mb_idx, mb_sel, mb_pos, mb_offt = jax.vmap(jax.vmap(
+                    mb_one, in_axes=(None, None, 0, 0, 0, 0, 0, 0)),
+                    in_axes=(0,) * 8)(
+                    anchors_bev_mb, anchors, anchor_valid, gt_bev_mb,
+                    gt_anchors_mb, batch["gt_classes"],
+                    batch["gt_valid"], keys)
+                interest = jnp.concatenate([cand_idx, mb_idx], axis=-1)
+
+            mi = interest.shape[-1]
+            int_anchors = jnp.take_along_axis(
+                jnp.broadcast_to(anchors[:, None],
+                                 (b, f, n_anchors, 6)),
+                interest[..., None], axis=2)             # (B,F,M,6)
+            int_valid = jnp.take_along_axis(anchor_valid, interest,
+                                            axis=2)
+            bev_sel = jnp.take_along_axis(bev_flat,
+                                          interest[..., None], axis=2)
+            _, int_img_norm = jax.vmap(
+                lambda anc, p2, sh: project_to_image_space(
+                    anc.reshape(-1, 6), p2, sh))(
+                int_anchors.reshape(b, -1, 6), batch["p2"], img_shapes)
+            int_img_yx = reorder_boxes_yx(
+                int_img_norm.reshape(b, f, mi, 4))
+            img_sel = jax.vmap(lambda fm, bx: jax.vmap(crop)(fm, bx))(
+                img_bf, int_img_yx)
+            fused = feature_fuse(bev_sel,
+                                 img_sel.reshape(b, f, mi, -1),
+                                 bev_mask[:, None, None, None],
+                                 img_mask[:, None, None, None],
+                                 m.rpn.fusion_method)
+            flat = fused.reshape(b * f * mi, -1)
+            objectness = self.rpn_cls(flat, train).reshape(b, f, mi, 2)
+            rpn_offsets = self.rpn_reg(flat, train).reshape(b, f, mi, 6)
+            proposals = box_ops.offset_to_anchor(int_anchors,
+                                                 rpn_offsets)
+            if sample_mb:
+                out["rpn_mb"] = {
+                    "objectness": objectness[:, :, k_fuse:],
+                    "offsets": rpn_offsets[:, :, k_fuse:],
+                    "sel": mb_sel, "pos": mb_pos,
+                    "offset_targets": mb_offt,
+                }
+            # NMS over the candidate slice
+            nms_prop = proposals[:, :, :k_fuse]
+            nms_valid = int_valid[:, :, :k_fuse]
+            _, prop_bev_norm = project_to_bev(nms_prop, bev_extents)
+            obj_scores = jax.nn.softmax(
+                objectness[:, :, :k_fuse], axis=-1)[..., 1]
+            obj_scores = jnp.where(nms_valid, obj_scores, -1.0)
+            pre_k = min(4 * k_rpn, k_fuse)
+        else:
+            _, img_norm = jax.vmap(
+                lambda anc, p2, sh: project_to_image_space(
+                    anc, p2, sh))(anchors, batch["p2"], img_shapes)
+            img_rois = jax.vmap(lambda fm, bx: jax.vmap(
+                lambda fm1: crop(fm1, bx))(fm))(
+                    img_bf, reorder_boxes_yx(img_norm))
+            fused = feature_fuse(
+                bev_rois, img_rois,
+                bev_mask[:, None, None, None, None, None],
+                img_mask[:, None, None, None, None, None],
+                m.rpn.fusion_method)
+            flat = fused.reshape(b * f * n_anchors, -1)
+            objectness = self.rpn_cls(flat, train).reshape(
+                b, f, n_anchors, 2)
+            rpn_offsets = self.rpn_reg(flat, train).reshape(
+                b, f, n_anchors, 6)
+            nms_prop = box_ops.offset_to_anchor(
+                anchors[:, None], rpn_offsets)           # (B, F, N, 6)
+            nms_valid = anchor_valid
+            _, prop_bev_norm = project_to_bev(nms_prop, bev_extents)
+            obj_scores = jax.nn.softmax(objectness, axis=-1)[..., 1]
+            obj_scores = jnp.where(anchor_valid, obj_scores, -1.0)
+            pre_k = min(4 * k_rpn, n_anchors)
 
         def rpn_nms(boxes_norm, scores, valid):
-            cand_idx, cand_valid = nms_ops.top_k_prefilter(
+            cand_i, cand_v = nms_ops.top_k_prefilter(
                 jnp.where(valid, scores, -1e9), valid, pre_k)
-            cand_boxes = boxes_norm[cand_idx]
+            cand_boxes = boxes_norm[cand_i]
             keep, keep_valid = nms_ops.nms_bev_mode(m.nms_mode)(
-                cand_boxes, scores[cand_idx], cand_valid, k_rpn,
+                cand_boxes, scores[cand_i], cand_v, k_rpn,
                 m.rpn.nms_iou_thresh)
-            return cand_idx[keep], keep_valid
+            return cand_i[keep], keep_valid
 
         top_idx, top_valid = jax.vmap(jax.vmap(rpn_nms))(
-            prop_bev_norm, obj_scores, anchor_valid)    # (B, F, K)
+            prop_bev_norm, obj_scores, nms_valid)       # (B, F, K)
         top_anchors = jnp.take_along_axis(
-            proposals, top_idx[..., None], axis=2)      # (B, F, K, 6)
+            nms_prop, top_idx[..., None], axis=2)       # (B, F, K, 6)
         top_scores = jnp.take_along_axis(obj_scores, top_idx, axis=2)
 
         # ---------------- correlation (frame 0 vs frame 1) --------------
-        out = {
-            "anchors": anchors, "anchor_valid": anchor_valid,
+        out.update({
             "objectness": objectness, "rpn_offsets": rpn_offsets,
             "top_anchors": top_anchors, "top_scores": top_scores,
-            "top_valid": top_valid, "bev_input": bev_input,
-            "img_mask": img_mask, "bev_mask": bev_mask,
-        }
+            "top_valid": top_valid,
+        })
 
         bev_feats_bf = bev_feats.reshape((b, f) + bev_feats.shape[1:])
         if f == 2:
@@ -814,13 +912,30 @@ def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
         reg_loss = jnp.sum(reg) * lw.reg_loss_weight / num_pos
         return cls_loss, reg_loss
 
-    rpn_cls, rpn_reg = jax.vmap(jax.vmap(
-        rpn_loss_one,
-        in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
-        anchors, anchors_bev, outputs["anchor_valid"],
-        outputs["objectness"], outputs["rpn_offsets"],
-        gt_bev, gt_anchors, gt_classes, gt_valid, rngs[:, :, 0])
+    if "rpn_mb" in outputs:
+        # the mini-batch was sampled inside the forward (two-pass RPN):
+        # head outputs/targets for exactly the sampled anchors
+        mbout = outputs["rpn_mb"]
+        selw = mbout["sel"].astype(jnp.float32)           # (B, F, S)
+        posw = mbout["pos"].astype(jnp.float32)
+        num_sel = jnp.maximum(selw.sum(-1), 1)
+        num_pos = jnp.maximum(posw.sum(-1), 1)
+        onehot = jax.nn.one_hot(
+            mbout["pos"].astype(jnp.int32), 2) * (1 - 2 * eps) + eps
+        logp = jax.nn.log_softmax(mbout["objectness"], axis=-1)
+        ce = -jnp.sum(onehot * logp, axis=-1)
+        rpn_cls = (ce * selw).sum(-1) * lw.cls_loss_weight / num_sel
+        reg = loss_ops.weighted_smooth_l1(
+            mbout["offsets"], mbout["offset_targets"], posw)
+        rpn_reg = reg.sum(-1) * lw.reg_loss_weight / num_pos
+    else:
+        rpn_cls, rpn_reg = jax.vmap(jax.vmap(
+            rpn_loss_one,
+            in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+            anchors, anchors_bev, outputs["anchor_valid"],
+            outputs["objectness"], outputs["rpn_offsets"],
+            gt_bev, gt_anchors, gt_classes, gt_valid, rngs[:, :, 0])
 
     # ---------------- second stage ------------------------------------
     rep = cfg.model.avod.box_representation

@@ -113,7 +113,8 @@ def make_train_step(cfg: PipelineConfig, model, mesh=None):
             out = model.apply({"params": params}, batch, train=True,
                               mode="train",
                               rngs={"dropout": drop_rng,
-                                    "pathdrop": path_rng})
+                                    "pathdrop": path_rng,
+                                    "sampling": samp_rng})
             total, losses = dt_avod.compute_losses(cfg, out, batch,
                                                    samp_rng)
             return total, losses

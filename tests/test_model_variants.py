@@ -123,3 +123,37 @@ def test_multiclass_people(data):
     assert out["final_cls_softmax"].shape[-1] == 3
     total, _ = dt_avod.compute_losses(cfg, out, batch, rng)
     assert np.isfinite(float(total))
+
+
+def test_two_pass_rpn_train_and_eval(data):
+    """fusion_top_k below the anchor count activates the two-pass RPN:
+    train samples the mini-batch inside the forward (rpn_mb outputs),
+    eval fuses image ROIs only for the candidates."""
+    cfg = _cfg(data)
+    cfg.model.rpn.fusion_top_k = 128
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="train")
+    model = dt_avod.DtAvodNet(cfg=cfg, cluster_sizes=CLUSTERS)
+    batch = ds.next_batch(1, shuffle=False, augment=False)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)}
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "dropout": rng, "pathdrop": rng,
+            "sampling": rng}
+    variables = model.init(rngs, batch, train=True, mode="train")
+    n_anchors = None
+    out = model.apply(variables, batch, train=True, mode="train",
+                      rngs={"dropout": rng, "pathdrop": rng,
+                            "sampling": rng})
+    assert "rpn_mb" in out
+    s = cfg.dataset.mini_batch.rpn_mini_batch_size
+    assert out["rpn_mb"]["objectness"].shape[2] == s
+    assert out["top_anchors"].shape[2] == cfg.model.rpn.train_nms_size
+    total, losses = dt_avod.compute_losses(cfg, out, batch, rng)
+    assert np.isfinite(float(total)), losses
+    assert float(losses["rpn_cls"]) > 0
+
+    # eval mode: no mini-batch outputs, NMS over candidates only
+    out_v = model.apply(variables, batch, train=False, mode="val")
+    assert "rpn_mb" not in out_v
+    assert out_v["top_anchors"].shape[2] == cfg.model.rpn.test_nms_size
+    assert np.isfinite(np.array(out_v["final_boxes_3d"])).all()
