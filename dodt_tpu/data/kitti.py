@@ -324,6 +324,27 @@ def transform_points_to_prev_frame(pts_velo: np.ndarray, trans, matrix
     return (pts_velo + trans) @ matrix
 
 
+def ego_bev_affine(calib: "FrameCalib", trans, matrix):
+    """2D affine mapping camera-rect (x, z) of the NEXT frame to the
+    CURRENT frame, for BEV feature warping (ops/warp.py):
+      [x_cur, z_cur] = a2 @ [x_next, z_next] + b2.
+
+    Extracted numerically from the composite rect -> velo -> ego
+    transform -> rect (avoids re-deriving the conjugation by the calib
+    rotation)."""
+    def f(p_cam):
+        v = calib.rect_to_velo(p_cam[None])
+        v = transform_points_to_prev_frame(v, trans, matrix)
+        return calib.velo_to_rect(v)[0]
+
+    o = f(np.zeros(3))
+    ax = f(np.array([1.0, 0.0, 0.0])) - o
+    az = f(np.array([0.0, 0.0, 1.0])) - o
+    a2 = np.array([[ax[0], az[0]], [ax[2], az[2]]], np.float32)
+    b2 = np.array([o[0], o[2]], np.float32)
+    return a2, b2
+
+
 def transform_labels_to_prev_frame(labels: LabelArray, calib: FrameCalib,
                                    trans, matrix, delta_yaw) -> LabelArray:
     """Move frame-B labels into frame-A coordinates via 8-corner rotation

@@ -929,6 +929,9 @@ def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
             mbout["offsets"], mbout["offset_targets"], posw)
         rpn_reg = reg.sum(-1) * lw.reg_loss_weight / num_pos
     else:
+        assert outputs["objectness"].shape[2] == anchors.shape[1], (
+            "compute_losses on two-pass candidate outputs requires the "
+            "in-forward mini-batch (train=True with gt in the batch)")
         rpn_cls, rpn_reg = jax.vmap(jax.vmap(
             rpn_loss_one,
             in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)),

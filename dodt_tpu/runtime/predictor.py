@@ -27,6 +27,28 @@ class StreamingPredictor:
         self._pair = jax.jit(
             lambda v, a, b: model.apply(v, a, b,
                                         method=model.pair_stage))
+
+        def warp_state(state, a2, b2):
+            """Express a cached frame state in another frame's BEV
+            coordinates. (a2, b2) map the state's own (x, z) into the
+            destination frame; the feature resample uses the inverse
+            (dest pixel -> source coords), boxes use the forward map.
+            """
+            from dodt_tpu.ops.warp import (transform_anchors_xz,
+                                           warp_bev_features)
+            bev_extents = np.asarray(
+                model.cfg.dataset.kitti_utils.bev_extents, np.float32)
+            inv_a = jnp.linalg.inv(a2)
+            out = dict(state)
+            out["bev_feats"] = jax.vmap(
+                lambda f: warp_bev_features(
+                    f, inv_a, -(inv_a @ b2), bev_extents))(
+                    state["bev_feats"])
+            out["top_anchors"] = transform_anchors_xz(
+                state["top_anchors"], a2, b2)
+            return out
+
+        self._warp_state = jax.jit(warp_state)
         self._state: Optional[Dict] = None
         self.encode_times: List[float] = []
         self.pair_times: List[float] = []
@@ -35,10 +57,21 @@ class StreamingPredictor:
         self._state = None
 
     def push_keyframe(self, frame_batch: Dict[str, np.ndarray],
-                      fetch: bool = True) -> Optional[Dict]:
+                      fetch: bool = True,
+                      ego_to_prev=None) -> Optional[Dict]:
         """Feed one keyframe (arrays with leading batch axis 1).
         Returns pair detections once two keyframes are buffered (the
         result covers the *previous* keyframe + this one), else None.
+
+        Each frame is encoded ONCE in its own coordinates and the
+        cached state is reused across consecutive couples. When the
+        platform moves, pass `ego_to_prev = (a2, b2)` (from
+        data.kitti.ego_bev_affine) mapping this frame's camera (x, z)
+        into the previous keyframe's — the new frame's BEV features
+        and proposals are warped into the previous frame's coordinates
+        for the pair stage (reference semantics: frame B expressed in
+        frame A, kitti_tracking_dataset.py:324-335), at the cost of
+        one affine resample instead of a tower re-encode.
 
         With fetch=False the pair output stays on device (returned as
         jax arrays, no host round trip, no timing sync) — the
@@ -57,6 +90,10 @@ class StreamingPredictor:
         if prev is None:
             return None
         t0 = time.perf_counter()
+        if ego_to_prev is not None:
+            a2, b2 = ego_to_prev
+            state = self._warp_state(state, jnp.asarray(a2, jnp.float32),
+                                     jnp.asarray(b2, jnp.float32))
         out = self._pair({"params": self.params}, prev, state)
         if not fetch:
             return out
