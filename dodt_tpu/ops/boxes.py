@@ -181,45 +181,66 @@ def box_3d_to_box_4c(boxes_3d: jnp.ndarray, ground_plane: jnp.ndarray
         [x_corners, z_corners, h1[..., None], h2[..., None]], axis=-1)
 
 
+def _box_4c_axis_info(vec_x, vec_z, px, pz, mid_x, mid_z):
+    """Project the 4 corners onto a direction vector and its normal;
+    recover extent-based length/width/centroid/ry (reference
+    box_4c_encoder.calculate_box_3d_info:305-366 semantics)."""
+    mag = jnp.maximum(jnp.hypot(vec_x, vec_z), 1e-10)
+    nx, nz = vec_x / mag, vec_z / mag
+    # corner vectors relative to the starting midpoint, (..., 4)
+    rel_x = px - mid_x[..., None]
+    rel_z = pz - mid_z[..., None]
+    ls = rel_x * nx[..., None] + rel_z * nz[..., None]
+    min_l = jnp.min(ls, axis=-1)
+    max_l = jnp.max(ls, axis=-1)
+    length = max_l - min_l
+    # normal = (-nz, nx) in the (x, z) plane
+    ws = rel_x * (-nz[..., None]) + rel_z * nx[..., None]
+    min_w = jnp.min(ws, axis=-1)
+    max_w = jnp.max(ws, axis=-1)
+    width = max_w - min_w
+    # NOTE: the reference offsets the centroid along the normal by
+    # (max_w + min_w), NOT (max_w + min_w)/2 (np_box_4c_to_box_3d:240
+    # and tf calculate_box_3d_info:362-364 both do this); reproduced
+    # for bit parity.
+    w_diff = max_w + min_w
+    half_span = (min_l + max_l) / 2.0
+    cx = mid_x + nx * half_span + (-nz) * w_diff
+    cz = mid_z + nz * half_span + nx * w_diff
+    ry = -jnp.arctan2(vec_z, vec_x)
+    return cx, cz, length, width, ry
+
+
 def box_4c_to_box_3d(boxes_4c: jnp.ndarray, ground_plane: jnp.ndarray
                      ) -> jnp.ndarray:
-    """box_4c (..., 10) -> box_3d (..., 7) (reference
-    box_4c_encoder.py:168-369 midpoint-alignment semantics).
+    """box_4c (..., 10) -> box_3d (..., 7), exact reference semantics
+    (box_4c_encoder.np_box_4c_to_box_3d:168-302 / tf twin :369-458).
 
-    The possibly non-rectangular quad is turned into a rectangle through
-    the midpoints of its sides; length is the longer midpoint span, and
-    ry comes from the longer-side direction.
+    The longest midpoint-to-midpoint vector of the (possibly
+    non-rectangular) quad gives the orientation; all four corners are
+    projected onto that direction and its normal, and length/width are
+    the projected extents. The centroid starts at the chosen midpoint
+    and moves half the projected length along the direction plus the
+    width imbalance along the normal.
     """
     xs = boxes_4c[..., 0:4]
     zs = boxes_4c[..., 4:8]
     h1 = boxes_4c[..., 8]
     h2 = boxes_4c[..., 9]
 
-    # Midpoints of the 4 sides: (c1+c2)/2, (c2+c3)/2, (c3+c4)/2, (c4+c1)/2
-    xs_roll = jnp.roll(xs, -1, axis=-1)
-    zs_roll = jnp.roll(zs, -1, axis=-1)
-    mid_x = (xs + xs_roll) / 2.0
-    mid_z = (zs + zs_roll) / 2.0
+    # side midpoints: 12, 23, 34, 14  (corner i = (xs[i], zs[i]))
+    m12x, m12z = (xs[..., 0] + xs[..., 1]) / 2, (zs[..., 0] + zs[..., 1]) / 2
+    m23x, m23z = (xs[..., 1] + xs[..., 2]) / 2, (zs[..., 1] + zs[..., 2]) / 2
+    m34x, m34z = (xs[..., 2] + xs[..., 3]) / 2, (zs[..., 2] + zs[..., 3]) / 2
+    m14x, m14z = (xs[..., 0] + xs[..., 3]) / 2, (zs[..., 0] + zs[..., 3]) / 2
 
-    # Center = mean of corners
-    cx = jnp.mean(xs, axis=-1)
-    cz = jnp.mean(zs, axis=-1)
+    va_x, va_z = m12x - m34x, m12z - m34z      # vec_34_12
+    vb_x, vb_z = m14x - m23x, m14z - m23z      # vec_23_14
+    use_a = jnp.hypot(va_x, va_z) > jnp.hypot(vb_x, vb_z)
 
-    # Side vectors through opposite midpoints: (m0 - m2) and (m1 - m3)
-    v1x = mid_x[..., 0] - mid_x[..., 2]
-    v1z = mid_z[..., 0] - mid_z[..., 2]
-    v2x = mid_x[..., 1] - mid_x[..., 3]
-    v2z = mid_z[..., 1] - mid_z[..., 3]
-    len1 = jnp.hypot(v1x, v1z)
-    len2 = jnp.hypot(v2x, v2z)
-
-    longer_is_1 = len1 >= len2
-    l = jnp.where(longer_is_1, len1, len2)
-    w = jnp.where(longer_is_1, len2, len1)
-    dir_x = jnp.where(longer_is_1, v1x, v2x)
-    dir_z = jnp.where(longer_is_1, v1z, v2z)
-    # camera-frame yaw: ry = atan2(-z, x) for a heading in the xz plane
-    ry = jnp.arctan2(-dir_z, dir_x)
+    a = _box_4c_axis_info(va_x, va_z, xs, zs, m34x, m34z)
+    b = _box_4c_axis_info(vb_x, vb_z, xs, zs, m23x, m23z)
+    cx, cz, l, w, ry = (jnp.where(use_a, ai, bi) for ai, bi in zip(a, b))
 
     # y of the bottom face: ground y at (cx, cz) minus h1 (camera y down)
     abc = ground_plane[..., 0:3]

@@ -75,7 +75,9 @@ class Evaluator:
         """Evaluate one checkpoint. With `interpolate=True` and a data
         stride tau > 1, MoI fills the tau-1 non-keyframes per couple and
         writes per-frame files (reference DtEvaluatorStride)."""
-        params = self.ckpt.restore_params(step)
+        params = self.ckpt.restore_params(
+            step,
+            prefer_ema=self.cfg.train.optimizer.use_moving_average)
         if params is None:
             raise FileNotFoundError("no checkpoint")
         step = step if step is not None else self.ckpt.latest_step()
@@ -86,6 +88,7 @@ class Evaluator:
 
         # per-video collections for tracking
         video_dets: Dict[int, Dict[int, List]] = defaultdict(dict)
+        video_img_size: Dict[int, tuple] = {}
         gts: List[kitti_ap.FrameGt] = []
         det_frames: List[kitti_ap.FrameDet] = []
 
@@ -111,6 +114,7 @@ class Evaluator:
                 lines)
 
             video_dets[cp.video_id][cp.frame_a] = dets0
+            video_img_size[cp.video_id] = img_size
 
             # ---- MoI: synthesize the tau-1 intermediate frames
             if interpolate and cp.frame_b > cp.frame_a + 1:
@@ -129,18 +133,24 @@ class Evaluator:
                         lines)
                     video_dets[cp.video_id][frame_no] = frames[off]
 
-        # ---- AP
-        ap = {}
-        for metric, name in (("image", "AP_2D"), ("ground", "AP_BEV"),
-                             ("3d", "AP_3D")):
-            ap[name] = kitti_ap.evaluate_ap(
-                gts, det_frames, self.cfg.dataset.classes[0], metric,
-                0.7 if self.cfg.dataset.classes[0] == "Car" else 0.5)
+        # ---- AP, per class (Car scored at min IoU 0.7, others at 0.5,
+        # matching the official evaluator's CLASS_NAMES/MIN_OVERLAP)
+        ap_per_class = {}
+        for cls_name in self.cfg.dataset.classes:
+            min_iou = 0.7 if cls_name == "Car" else 0.5
+            ap_per_class[cls_name] = {
+                name: kitti_ap.evaluate_ap(gts, det_frames, cls_name,
+                                           metric, min_iou)
+                for metric, name in (("image", "AP_2D"),
+                                     ("ground", "AP_BEV"),
+                                     ("3d", "AP_3D"))}
+        ap = ap_per_class[self.cfg.dataset.classes[0]]
 
         # ---- tracking
-        mot = self._run_tracking(video_dets)
+        mot = self._run_tracking(video_dets, video_img_size)
 
-        results = {"step": int(step), "ap": ap, "mot": mot}
+        results = {"step": int(step), "ap": ap,
+                   "ap_per_class": ap_per_class, "mot": mot}
         with open(os.path.join(self.output_dir,
                                f"results_{step}.json"), "w") as f:
             json.dump(results, f, indent=2)
@@ -175,11 +185,12 @@ class Evaluator:
             classes=self.cfg.dataset.classes,
             score_threshold=self.cfg.eval.kitti_score_threshold)
 
-    def _run_tracking(self, video_dets) -> Dict:
+    def _run_tracking(self, video_dets, video_img_size=None) -> Dict:
         ev = self.cfg.eval
         all_results = {}
         for vid, frames in video_dets.items():
             order = sorted(frames)
+            img_size = (video_img_size or {}).get(vid, (1242, 375))
             dets_seq = [[d for d in frames[f]
                          if d["score"] >= ev.track_lth] for f in order]
             tracks = iou_tracker.track_through_ious(
@@ -195,8 +206,10 @@ class Evaluator:
                 for tid, tr in enumerate(tracks):
                     if fi in tr["frames"]:
                         det = tr["trajectory"][tr["frames"].index(fi)]
+                        # clip to the real image so pred and GT 2D boxes
+                        # live in the same coordinate contract
                         bb = kitti_writer.project_box_to_image(
-                            det["box_3d"], calib, (10000, 10000))
+                            det["box_3d"], calib, img_size)
                         if bb is not None:
                             ids.append(tid)
                             boxes.append(bb)

@@ -156,10 +156,19 @@ class CheckpointIO:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
 
     def save(self, step: int, state: TrainState):
+        """Full train state: params + optimizer moments + EMA params.
+
+        The reference's slim training saves the whole graph collection
+        (Adam slots + ExponentialMovingAverage shadows) in its
+        checkpoints (trainer.py:94-119, optimizer.proto moving_average);
+        here that is the explicit TrainState pytree.
+        """
         import orbax.checkpoint as ocp
-        self.manager.save(
-            step, args=ocp.args.StandardSave(
-                {"params": state.params, "step": int(step)}))
+        payload = {"params": state.params, "step": int(step),
+                   "opt_state": state.opt_state}
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
+        self.manager.save(step, args=ocp.args.StandardSave(payload))
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -168,14 +177,47 @@ class CheckpointIO:
     def all_steps(self):
         return sorted(self.manager.all_steps())
 
-    def restore_params(self, step: Optional[int] = None):
+    def restore_params(self, step: Optional[int] = None,
+                       prefer_ema: bool = False):
+        """Params for inference/eval; with `prefer_ema`, the EMA shadow
+        params are returned when the checkpoint carries them (the
+        reference evaluates its moving average the same way)."""
         import orbax.checkpoint as ocp
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
         restored = self.manager.restore(
             step, args=ocp.args.StandardRestore())
+        if prefer_ema and restored.get("ema_params") is not None:
+            return restored["ema_params"]
         return restored["params"]
+
+    def restore_state(self, template: TrainState,
+                      step: Optional[int] = None) -> Optional[TrainState]:
+        """Restore the FULL train state (params, optimizer moments, EMA)
+        into the structure of `template`, so a resumed run is
+        step-for-step identical to an uninterrupted one. Falls back to
+        params-only for old-format checkpoints."""
+        import orbax.checkpoint as ocp
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        payload = {"params": template.params, "step": 0,
+                   "opt_state": template.opt_state}
+        if template.ema_params is not None:
+            payload["ema_params"] = template.ema_params
+        try:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(payload))
+        except (ValueError, KeyError):
+            params = self.restore_params(step)
+            return template._replace(
+                params=params, step=jnp.asarray(step, jnp.int32))
+        return TrainState(
+            step=jnp.asarray(step, jnp.int32),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            ema_params=restored.get("ema_params"))
 
     def restore_subtrees(self, params, source_dir: str,
                          subtrees, step: Optional[int] = None):
@@ -221,9 +263,7 @@ class Trainer:
         state = create_train_state(self.cfg, self.model, batch, self.rng)
         latest = self.ckpt.latest_step()
         if latest is not None:
-            params = self.ckpt.restore_params(latest)
-            state = state._replace(
-                params=params, step=jnp.asarray(latest, jnp.int32))
+            state = self.ckpt.restore_state(state, latest)
         elif self.cfg.train.pretrained_checkpoint:
             params = self.ckpt.restore_subtrees(
                 state.params, self.cfg.train.pretrained_checkpoint,

@@ -126,6 +126,58 @@ def test_box_4c_heights():
     np.testing.assert_allclose(b4c[9], 2.5, atol=1e-6)
 
 
+def _oracle_box_4c_to_box_3d(box_4c, ground_plane):
+    """Numpy oracle for a single box: reference
+    box_4c_encoder.np_box_4c_to_box_3d:168-302 semantics (projected
+    extents on the longest midpoint-midpoint direction; centroid offset
+    by the un-halved width imbalance, reproducing the reference)."""
+    pts = box_4c[0:8].reshape(2, 4)  # rows: x, z
+    p = [pts[:, i] for i in range(4)]
+    m12 = (p[0] + p[1]) / 2.0
+    m23 = (p[1] + p[2]) / 2.0
+    m34 = (p[2] + p[3]) / 2.0
+    m14 = (p[0] + p[3]) / 2.0
+    va = m12 - m34
+    vb = m14 - m23
+    if np.linalg.norm(va) > np.linalg.norm(vb):
+        vec, mid = va, m34
+    else:
+        vec, mid = vb, m23
+    n = vec / np.linalg.norm(vec)
+    ortho = np.array([-n[1], n[0]])
+    ls = [np.dot(pi - mid, n) for pi in p]
+    ws = [np.dot(pi - mid, ortho) for pi in p]
+    length = max(ls) - min(ls)
+    width = max(ws) - min(ws)
+    centroid = mid + n * (min(ls) + max(ls)) / 2.0 + \
+        ortho * (max(ws) + min(ws))
+    ry = -np.arctan2(vec[1], vec[0])
+    a, b, c, d = ground_plane
+    gy = -(a * centroid[0] + c * centroid[1] + d) / b
+    h1, h2 = box_4c[8], box_4c[9]
+    return np.array([centroid[0], gy - h1, centroid[1],
+                     length, width, h2 - h1, ry])
+
+
+def test_box_4c_to_box_3d_golden_nonrect():
+    """10k random NON-rectangular quads vs the numpy oracle (the exact
+    decode sits in the flagship box_4ca path)."""
+    rng = np.random.RandomState(7)
+    n = 10000
+    base = random_boxes_3d(n, rng)
+    base[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    gp = jnp.array([0.02, -1.0, 0.01, 1.65])
+    b4c = np.array(boxes.box_3d_to_box_4c(jnp.asarray(base), gp))
+    # perturb corners and heights so the quads are not rectangles
+    b4c[:, 0:8] += rng.uniform(-0.3, 0.3, (n, 8))
+    b4c[:, 8] += rng.uniform(-0.1, 0.1, n)
+    b4c[:, 9] += rng.uniform(-0.1, 0.1, n)
+    got = np.array(boxes.box_4c_to_box_3d(jnp.asarray(b4c), gp))
+    want = np.stack([_oracle_box_4c_to_box_3d(b, np.array(gp))
+                     for b in b4c])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_box_4c_vertical_box_swaps_lw():
     gp = jnp.array([0.0, -1.0, 0.0, 0.0])
     box = jnp.array([[0.0, 0.0, 10.0, 4.0, 2.0, 1.5, np.pi / 2]])

@@ -55,6 +55,72 @@ def test_checkpoint_partial_restore(tmp_path):
     np.testing.assert_allclose(np.asarray(merged["rpn_cls"]["w"]), 0.0)
 
 
+def test_checkpoint_full_state_resume(tmp_path):
+    """Resumed run must be step-for-step identical to an uninterrupted
+    one: Adam moments, schedule step, and EMA shadows all survive."""
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.train.optimizer.use_moving_average = True
+    decay = cfg.train.optimizer.moving_average_decay
+    tx = trainer_lib.make_optimizer(cfg)
+
+    def fresh_state():
+        params = {"head": {"w": jnp.arange(4.0), "b": jnp.ones(2)}}
+        return trainer_lib.TrainState(
+            step=jnp.int32(0), params=params,
+            opt_state=tx.init(params), ema_params=params)
+
+    grads = [{"head": {"w": jnp.full(4, g), "b": jnp.full(2, -g)}}
+             for g in (1.0, 0.5, 2.0)]
+
+    def one_step(state, g):
+        updates, new_opt = tx.update(g, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1 - decay) * p,
+            state.ema_params, new_params)
+        return trainer_lib.TrainState(state.step + 1, new_params,
+                                      new_opt, ema)
+
+    # uninterrupted: 3 steps
+    ref = fresh_state()
+    for g in grads:
+        ref = one_step(ref, g)
+
+    # interrupted: 2 steps, save, restore into a fresh template, 1 step
+    ck = trainer_lib.CheckpointIO(str(tmp_path / "ck"))
+    state = fresh_state()
+    for g in grads[:2]:
+        state = one_step(state, g)
+    ck.save(2, state)
+    restored = ck.restore_state(fresh_state())
+    assert int(restored.step) == 2
+    resumed = one_step(restored, grads[2])
+
+    for name, a, b in (("params", ref.params, resumed.params),
+                       ("opt", ref.opt_state, resumed.opt_state),
+                       ("ema", ref.ema_params, resumed.ema_params)):
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=0, rtol=0, err_msg=name)
+
+
+def test_checkpoint_prefer_ema(tmp_path):
+    cfg = cfg_mod.unittest_pipeline()
+    tx = trainer_lib.make_optimizer(cfg)
+    params = {"head": {"w": jnp.zeros(3)}}
+    ema = {"head": {"w": jnp.full(3, 9.0)}}
+    state = trainer_lib.TrainState(step=jnp.int32(1), params=params,
+                                   opt_state=tx.init(params),
+                                   ema_params=ema)
+    ck = trainer_lib.CheckpointIO(str(tmp_path / "ck"))
+    ck.save(1, state)
+    np.testing.assert_allclose(
+        np.asarray(ck.restore_params(prefer_ema=True)["head"]["w"]), 9.0)
+    np.testing.assert_allclose(
+        np.asarray(ck.restore_params()["head"]["w"]), 0.0)
+
+
 def test_reporting(tmp_path):
     import json
     for step, m in ((2, 50.0), (4, 60.0), (6, 55.0)):
