@@ -97,21 +97,26 @@ def _labels_from_rows(rows) -> LabelArray:
         frames=np.array([r["frame"] for r in rows], np.int32))
 
 
-def read_labels(label_dir: str, sample_name: str) -> LabelArray:
-    """Read a detection label file `<label_dir>/<sample_name>.txt`."""
+def read_labels(label_dir: str, sample_name: str,
+                keep_dontcare: bool = False) -> LabelArray:
+    """Read a detection label file `<label_dir>/<sample_name>.txt`.
+    DontCare regions are dropped unless `keep_dontcare` (the official
+    scorers need them for detection absorption)."""
     path = os.path.join(label_dir, sample_name + ".txt")
     rows = []
     with open(path) as f:
         for line in f:
             fields = line.split()
-            if len(fields) < 15 or fields[0] == "DontCare":
+            if len(fields) < 15 or \
+                    (fields[0] == "DontCare" and not keep_dontcare):
                 continue
             rows.append(_parse_label_fields(fields, tracking=False))
     return _labels_from_rows(rows)
 
 
 def read_tracking_labels(label_dir: str, video_id: int,
-                         frame: int | None = None) -> LabelArray:
+                         frame: int | None = None,
+                         keep_dontcare: bool = False) -> LabelArray:
     """Read tracking labels for a video (label_02 format), optionally
     filtered to one frame."""
     path = os.path.join(label_dir, f"{video_id:04d}.txt")
@@ -119,7 +124,8 @@ def read_tracking_labels(label_dir: str, video_id: int,
     with open(path) as f:
         for line in f:
             fields = line.split()
-            if len(fields) < 17 or fields[2] == "DontCare":
+            if len(fields) < 17 or \
+                    (fields[2] == "DontCare" and not keep_dontcare):
                 continue
             row = _parse_label_fields(fields, tracking=True)
             if frame is None or row["frame"] == frame:

@@ -118,6 +118,15 @@ class KittiTrackingDataset:
                 lab, self.cfg.classes)
         return self._label_cache[key]
 
+    def raw_labels(self, video_id: int, frame: int) -> kitti.LabelArray:
+        """Unfiltered labels including DontCare regions and neighboring
+        classes — the official MOT scorer's GT contract."""
+        key = ("raw", video_id, frame)
+        if key not in self._label_cache:
+            self._label_cache[key] = kitti.read_tracking_labels(
+                self.label_dir, video_id, frame, keep_dontcare=True)
+        return self._label_cache[key]
+
     def ground_plane(self, video_id: int, frame: int) -> np.ndarray:
         path = os.path.join(self.planes_dir, f"{video_id:04d}",
                             f"{frame:06d}.txt")

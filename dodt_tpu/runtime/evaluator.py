@@ -186,8 +186,19 @@ class Evaluator:
             score_threshold=self.cfg.eval.kitti_score_threshold)
 
     def _run_tracking(self, video_dets, video_img_size=None) -> Dict:
+        """Track per video and score with the official-protocol MOT
+        scorer: GT includes DontCare regions, neighboring classes and
+        truncation/occlusion for the official ignore rules; 'overall'
+        pools all videos in one accumulator (like the official scorer
+        pools its sequences) rather than averaging per-video scores."""
         ev = self.cfg.eval
+        cls = self.cfg.dataset.classes[0].lower()
+        # GT classes the official loader keeps for this eval class
+        allowed = {cls} | set(mot_eval._NEIGHBORS.get(cls, ()))
+        raw_labels = getattr(self.dataset, "raw_labels",
+                             self.dataset.labels)
         all_results = {}
+        pooled = mot_eval.MotEvaluator(cls=cls)
         for vid, frames in video_dets.items():
             order = sorted(frames)
             img_size = (video_img_size or {}).get(vid, (1242, 375))
@@ -199,9 +210,18 @@ class Evaluator:
             calib = self.dataset.calib(vid)
             gt_frames, pred_frames = [], []
             for fi, f in enumerate(order):
-                lab = self.dataset.labels(vid, f)
-                gt_frames.append({"ids": list(lab.track_ids),
-                                  "boxes": list(lab.bbox_2d)})
+                lab = raw_labels(vid, f)
+                keep = np.array([t.lower() in allowed
+                                 for t in lab.types], bool)
+                dontcare = [b for t, b in zip(lab.types, lab.bbox_2d)
+                            if t == "DontCare"]
+                gt_frames.append({
+                    "ids": list(lab.track_ids[keep]),
+                    "boxes": list(lab.bbox_2d[keep]),
+                    "types": [t.lower() for t in lab.types[keep]],
+                    "truncation": list(lab.truncation[keep].astype(int)),
+                    "occlusion": list(lab.occlusion[keep].astype(int)),
+                    "dontcare": dontcare})
                 ids, boxes = [], []
                 for tid, tr in enumerate(tracks):
                     if fi in tr["frames"]:
@@ -215,12 +235,10 @@ class Evaluator:
                             boxes.append(bb)
                 pred_frames.append({"ids": ids, "boxes": boxes})
             all_results[vid] = mot_eval.evaluate_tracking(
-                gt_frames, pred_frames)
+                gt_frames, pred_frames, cls=cls)
+            pooled.add_sequence(gt_frames, pred_frames)
         if all_results:
-            keys = next(iter(all_results.values())).keys()
-            all_results["overall"] = {
-                k: float(np.mean([v[k] for kk, v in all_results.items()
-                                  if kk != "overall"])) for k in keys}
+            all_results["overall"] = pooled.results()
         return all_results
 
     # ------------------------------------------------------- polling

@@ -125,12 +125,18 @@ def test_mot_eval_id_switch():
 
 
 def test_mot_eval_misses():
+    """Official fragment semantics (evaluate_tracking.py:704-713): a
+    fragmentation is a gap followed by a re-acquisition that persists
+    for at least two frames."""
     gt, pred = [], []
     for f in range(10):
         gt.append({"ids": [1], "boxes": [(0, 0, 50, 50)]})
-        pred.append({"ids": [], "boxes": []} if f % 2 else
-                    {"ids": [3], "boxes": [(0, 0, 50, 50)]})
+        present = f < 4 or f >= 7   # gap at frames 4-6
+        pred.append({"ids": [3], "boxes": [(0, 0, 50, 50)]} if present
+                    else {"ids": [], "boxes": []})
     res = mot_eval.evaluate_tracking(gt, pred)
-    assert res["FN"] == 5
-    assert res["FM"] >= 4  # fragmented track
-    assert res["ML"] == 0.0 and res["MT"] == 0.0  # 50% coverage -> PT
+    assert res["FN"] == 3
+    assert res["FM"] == 1
+    assert res["IDS"] == 0
+    assert res["ML"] == 0.0 and res["MT"] == 0.0  # 70% coverage -> PT
+    assert res["PT"] == 100.0
