@@ -1,15 +1,26 @@
-"""KITTI detection AP evaluator (official 41-point protocol).
+"""KITTI detection AP evaluator (official protocol, bit-parity).
 
-Own implementation of the scoring rules of the reference's C++
-evaluator (scripts/offline_eval/kitti_native_eval/
-evaluate_object_3d_offline.cpp, ~1000 LoC): per-difficulty
-valid/ignored/DontCare GT partitioning, score-threshold sweep over 41
-recall points, greedy max-IoU assignment, and AP as the mean of
-right-monotonized precision. Metrics: image (2D bbox), ground (rotated
-BEV), 3D.
+Own implementation of the exact scoring rules of the official KITTI
+C++ evaluator, which the reference vendors at scripts/offline_eval/
+kitti_native_eval/evaluate_object_3d_offline.cpp (~1000 LoC) and which
+is parity-tested against the compiled official binary in
+tests/test_ap_parity.py:
+
+  * per-difficulty valid/ignored/other GT partitioning with the
+    official boundary conventions (cleanData:382-455),
+  * sequential greedy matching with a shared assigned set
+    (computeStatistics:457-637) — the recall-threshold pass takes the
+    highest-SCORE overlapping candidate (:508-510), the PR pass the
+    highest-overlap non-ignored candidate; too-small detections may
+    absorb a GT's match without producing a TP (:538-539),
+  * DontCare absorption by criterion-0 overlap,
+  * thresholds at 41 recall steps, right-monotonized precision, and
+    the official 11-of-41-point AP average (saveAndPlotPlots:766-770).
+
+Metrics: image (2D bbox), ground (rotated BEV), 3D.
 
 The C++ twin in dodt_tpu/native/kitti_ap.cpp is the fast batch path;
-this module is the readable specification and test oracle.
+this module is the readable specification.
 """
 from __future__ import annotations
 
@@ -66,21 +77,41 @@ class FrameDet:
 
 
 def _classify_gt(gt: FrameGt, current_class: str, difficulty: int):
-    """0 = valid, 1 = ignored, -1 = other class (FP if matched? no —
-    simply not considered)."""
+    """0 = valid, 1 = ignored (neighbor class or too hard), -1 = other
+    class. Official cleanData:385-428 semantics: a GT is ignored when
+    occlusion/truncation exceed the difficulty or bbox height is <= the
+    minimum (boundary inclusive), case-insensitive class match."""
     min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
+    cur = current_class.lower()
+    neighbors = tuple(n.lower() for n in NEIGHBORS.get(current_class, ()))
     out = []
     for i in range(len(gt.boxes_3d)):
-        t = gt.types[i]
+        t = gt.types[i].lower()
         h = gt.bbox_2d[i, 3] - gt.bbox_2d[i, 1]
-        if t == current_class:
-            if (gt.occlusion[i] <= max_occ and
-                    gt.truncation[i] <= max_trunc and h >= min_h):
-                out.append(0)
-            else:
-                out.append(1)
-        elif t in NEIGHBORS.get(current_class, ()):
+        ignore = (gt.occlusion[i] > max_occ or
+                  gt.truncation[i] > max_trunc or h <= min_h)
+        if t == cur and not ignore:
+            out.append(0)
+        elif t in neighbors or (t == cur and ignore):
             out.append(1)
+        else:
+            out.append(-1)
+    return np.array(out, np.int32)
+
+
+def _classify_det(det: FrameDet, current_class: str, difficulty: int):
+    """0 = valid, 1 = ignored (too small — of ANY class, checked before
+    the class test like the official cleanData:445-453), -1 = other
+    class."""
+    min_h = DIFFICULTY[difficulty][0]
+    cur = current_class.lower()
+    out = []
+    for i in range(len(det.scores)):
+        h = abs(det.bbox_2d[i, 1] - det.bbox_2d[i, 3])
+        if h < min_h:
+            out.append(1)
+        elif det.types[i].lower() == cur:
+            out.append(0)
         else:
             out.append(-1)
     return np.array(out, np.int32)
@@ -103,10 +134,88 @@ def _overlap(metric: str, det: FrameDet, gt: FrameGt) -> np.ndarray:
     return iou
 
 
-def _det_height_ok(det: FrameDet, difficulty: int) -> np.ndarray:
-    min_h = DIFFICULTY[difficulty][0]
-    h = det.bbox_2d[:, 3] - det.bbox_2d[:, 1]
-    return h >= min_h
+_NO_DETECTION = -10000000.0
+
+
+def _compute_statistics(iou, dc_overlap, scores, ignored_gt, ignored_det,
+                        min_overlap, thresh, compute_fp):
+    """One frame at one score threshold — official computeStatistics
+    (:457-637) semantics, operating on a precomputed (n_det, n_gt) IoU
+    matrix and (n_det, n_dc) criterion-0 DontCare overlap matrix.
+
+    Returns (tp, fp, fn, tp_scores). Matching runs sequentially over GT
+    in file order with a shared assigned-detection set; small
+    (ignored_det==1) detections may absorb a GT's match without
+    producing a TP, and ignored GT absorb their best detection.
+    """
+    n_gt = iou.shape[1]
+    n_det = len(scores)
+    assigned = np.zeros(n_det, bool)
+    if compute_fp:
+        ignored_threshold = scores < thresh
+    else:
+        ignored_threshold = np.zeros(n_det, bool)
+
+    tp = fp = fn = 0
+    v = []
+    for i in range(n_gt):
+        if ignored_gt[i] == -1:
+            continue
+        det_idx = -1
+        valid_detection = _NO_DETECTION
+        max_overlap = 0.0
+        assigned_ignored_det = False
+        for j in range(n_det):
+            if ignored_det[j] == -1 or assigned[j] or \
+                    ignored_threshold[j]:
+                continue
+            overlap = iou[j, i]
+            if overlap <= min_overlap:
+                continue
+            if not compute_fp:
+                # recall-threshold pass: highest-SCORE candidate
+                # (official :508-510)
+                if scores[j] > valid_detection:
+                    det_idx = j
+                    valid_detection = scores[j]
+            elif (overlap > max_overlap or assigned_ignored_det) and \
+                    ignored_det[j] == 0:
+                max_overlap = overlap
+                det_idx = j
+                valid_detection = 1.0
+                assigned_ignored_det = False
+            elif valid_detection == _NO_DETECTION and \
+                    ignored_det[j] == 1:
+                det_idx = j
+                valid_detection = 1.0
+                assigned_ignored_det = True
+        if valid_detection == _NO_DETECTION and ignored_gt[i] == 0:
+            fn += 1
+        elif valid_detection != _NO_DETECTION and \
+                (ignored_gt[i] == 1 or ignored_det[det_idx] == 1):
+            # absorbed: no TP, no FP, no FN (official :538-539)
+            assigned[det_idx] = True
+        elif valid_detection != _NO_DETECTION:
+            tp += 1
+            v.append(scores[det_idx])
+            assigned[det_idx] = True
+
+    if compute_fp:
+        fp = int(np.sum(~assigned & (ignored_det == 0) &
+                        ~ignored_threshold))
+        # DontCare absorption with criterion-0 overlap (official
+        # :572-595); detection order is the official inner loop order
+        nstuff = 0
+        for k in range(dc_overlap.shape[1]):
+            for j in range(n_det):
+                if assigned[j] or ignored_det[j] != 0 or \
+                        ignored_threshold[j]:
+                    continue
+                if dc_overlap[j, k] > min_overlap:
+                    assigned[j] = True
+                    nstuff += 1
+        fp -= nstuff
+    return tp, fp, fn, v
 
 
 def evaluate_ap(gts: List[FrameGt], dets: List[FrameDet],
@@ -135,22 +244,24 @@ def _eval_one_native(gts, dets, current_class, metric, min_iou,
                      difficulty):
     from dodt_tpu import native
 
-    gt_counts, det_counts = [], []
-    gt_boxes7, gt_bbox4, gt_kind = [], [], []
-    det_boxes7, det_bbox4, det_scores, det_is_class = [], [], [], []
+    gt_counts, det_counts, dc_counts = [], [], []
+    gt_boxes7, gt_bbox4, ignored_gt, dc_bbox4 = [], [], [], []
+    det_boxes7, det_bbox4, det_scores, ignored_det = [], [], [], []
     for gt, det in zip(gts, dets):
         gt_counts.append(len(gt.boxes_3d))
         det_counts.append(len(det.boxes_3d))
+        dc = np.asarray(gt.dontcare, np.float64).reshape(-1, 4)
+        dc_counts.append(len(dc))
+        dc_bbox4.append(dc)
         gt_boxes7.append(np.asarray(gt.boxes_3d, np.float64).reshape(-1, 7))
         gt_bbox4.append(np.asarray(gt.bbox_2d, np.float64).reshape(-1, 4))
-        gt_kind.append(_classify_gt(gt, current_class, difficulty))
+        ignored_gt.append(_classify_gt(gt, current_class, difficulty))
         det_boxes7.append(np.asarray(det.boxes_3d,
                                      np.float64).reshape(-1, 7))
         det_bbox4.append(np.asarray(det.bbox_2d,
                                     np.float64).reshape(-1, 4))
         det_scores.append(np.asarray(det.scores, np.float64))
-        det_is_class.append(np.array(
-            [t == current_class for t in det.types], np.int32))
+        ignored_det.append(_classify_det(det, current_class, difficulty))
 
     def cat(parts, width):
         if not parts:
@@ -160,37 +271,52 @@ def _eval_one_native(gts, dets, current_class, metric, min_iou,
     return native.kitti_ap_native(
         np.asarray(gt_counts, np.int32), cat(gt_boxes7, 7),
         cat(gt_bbox4, 4),
-        np.concatenate(gt_kind) if gt_kind else np.zeros(0, np.int32),
+        np.concatenate(ignored_gt) if ignored_gt
+        else np.zeros(0, np.int32),
+        np.asarray(dc_counts, np.int32), cat(dc_bbox4, 4),
         np.asarray(det_counts, np.int32), cat(det_boxes7, 7),
         cat(det_bbox4, 4),
         np.concatenate(det_scores) if det_scores else np.zeros(0),
-        np.concatenate(det_is_class) if det_is_class
+        np.concatenate(ignored_det) if ignored_det
         else np.zeros(0, np.int32),
-        metric, min_iou, DIFFICULTY[difficulty][0])
+        metric, min_iou)
 
 
 def _eval_one(gts, dets, current_class, metric, min_iou, difficulty):
-    # Pass 1: collect TP scores at threshold 0 to derive the 41
-    # score thresholds (cpp: getThresholds over valid recalls).
+    """One class x difficulty x metric — official eval_class:643-743.
+
+    AP is the official 11-of-41-point average: precisions at recalls
+    0, 0.1, ..., 1.0 (every 4th of the 41 samples), right-monotonized
+    first (official saveAndPlotPlots:766-770).
+    """
+    # Per-frame caches: classifications + IoU + DontCare overlaps.
     frame_cache = []
     tp_scores = []
     total_valid_gt = 0
     for gt, det in zip(gts, dets):
         gt_kind = _classify_gt(gt, current_class, difficulty)
-        cls_mask = np.array([t == current_class for t in det.types])
+        det_kind = _classify_det(det, current_class, difficulty)
         iou = _overlap(metric, det, gt)
-        frame_cache.append((gt_kind, cls_mask, iou))
-        n_valid = int(np.sum(gt_kind == 0))
-        total_valid_gt += n_valid
-        # greedy: each valid GT takes its best-overlap detection
-        for g in np.where(gt_kind == 0)[0]:
-            best, best_iou = -1, min_iou
-            for d in np.where(cls_mask)[0]:
-                if iou[d, g] >= best_iou:
-                    best_iou = iou[d, g]
-                    best = d
-            if best >= 0:
-                tp_scores.append(det.scores[best])
+        # DontCare absorption uses the metric's criterion-0 overlap
+        # (intersection / detection area). KITTI DontCare rows carry
+        # only a 2D bbox (dims -1, position -1000), so for the ground
+        # and 3d metrics the official overlap is identically 0 — only
+        # the image metric can absorb.
+        n_det = len(det.scores)
+        n_dc = len(gt.dontcare)
+        dc_overlap = np.zeros((n_det, n_dc))
+        if metric == "image" and n_dc:
+            for d in range(n_det):
+                for k in range(n_dc):
+                    dc_overlap[d, k] = _inside_frac(det.bbox_2d[d],
+                                                    gt.dontcare[k])
+        frame_cache.append((gt_kind, det_kind, iou, dc_overlap))
+        total_valid_gt += int(np.sum(gt_kind == 0))
+
+        _, _, _, v = _compute_statistics(
+            iou, dc_overlap, np.asarray(det.scores, float), gt_kind,
+            det_kind, min_iou, 0.0, compute_fp=False)
+        tp_scores.extend(v)
 
     if total_valid_gt == 0:
         return 0.0
@@ -199,49 +325,23 @@ def _eval_one(gts, dets, current_class, metric, min_iou, difficulty):
     precisions = np.zeros(N_SAMPLE_PTS)
     for ti, thresh in enumerate(thresholds):
         tp = fp = fn = 0
-        for (gt, det), (gt_kind, cls_mask, iou) in zip(
-                zip(gts, dets), frame_cache):
-            score_ok = det.scores >= thresh
-            cand = cls_mask & score_ok
-            assigned = np.zeros(len(det.scores), bool)
-            # valid GT matching: prefer the highest-IoU candidate
-            for g in np.where(gt_kind == 0)[0]:
-                best, best_iou = -1, min_iou
-                for d in np.where(cand & ~assigned)[0]:
-                    if iou[d, g] >= best_iou:
-                        best_iou = iou[d, g]
-                        best = d
-                if best >= 0:
-                    tp += 1
-                    assigned[best] = True
-                else:
-                    fn += 1
-            # ignored GT absorb detections (not FP)
-            for g in np.where(gt_kind == 1)[0]:
-                for d in np.where(cand & ~assigned)[0]:
-                    if iou[d, g] >= min_iou:
-                        assigned[d] = True
-                        break
-            # DontCare region absorption (image metric)
-            if metric == "image" and len(gt.dontcare):
-                for d in np.where(cand & ~assigned)[0]:
-                    for dc in gt.dontcare:
-                        if _inside_frac(det.bbox_2d[d], dc) >= min_iou:
-                            assigned[d] = True
-                            break
-            # small detections don't count as FP either
-            height_ok = _det_height_ok(det, difficulty)
-            fp += int(np.sum(cand & ~assigned & height_ok))
+        for det, (gt_kind, det_kind, iou, dc_overlap) in zip(
+                dets, frame_cache):
+            t, f, n, _ = _compute_statistics(
+                iou, dc_overlap, np.asarray(det.scores, float), gt_kind,
+                det_kind, min_iou, thresh, compute_fp=True)
+            tp += t
+            fp += f
+            fn += n
         denom = tp + fp
         precisions[ti] = tp / denom if denom > 0 else 0.0
 
-    # right-monotonize and average
-    for i in range(N_SAMPLE_PTS - 2, -1, -1):
-        precisions[i] = max(precisions[i], precisions[i + 1])
-    # pad unused thresholds with 0 precision (they were initialized 0,
-    # but monotonization may have propagated values backwards — mask)
+    # right-monotonize over the full 41 samples, then the official
+    # 11-point average (every 4th sample)
     n_t = len(thresholds)
-    return 100.0 * float(np.sum(precisions[:n_t]) / N_SAMPLE_PTS)
+    for i in range(n_t):
+        precisions[i] = np.max(precisions[i:])
+    return 100.0 * float(np.sum(precisions[0::4]) / 11.0)
 
 
 def _inside_frac(box, region):

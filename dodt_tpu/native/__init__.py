@@ -50,16 +50,18 @@ def _get_ap_lib():
             return None
         lib.kitti_ap.restype = ctypes.c_double
         lib.kitti_ap.argtypes = [
-            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
-            np.ctypeslib.ndpointer(np.int32),
-            np.ctypeslib.ndpointer(np.float64),
-            np.ctypeslib.ndpointer(np.float64),
-            np.ctypeslib.ndpointer(np.int32),
-            np.ctypeslib.ndpointer(np.int32),
-            np.ctypeslib.ndpointer(np.float64),
-            np.ctypeslib.ndpointer(np.float64),
-            np.ctypeslib.ndpointer(np.float64),
-            np.ctypeslib.ndpointer(np.int32),
+            ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32),    # gt_counts
+            np.ctypeslib.ndpointer(np.float64),  # gt_boxes7
+            np.ctypeslib.ndpointer(np.float64),  # gt_bbox4
+            np.ctypeslib.ndpointer(np.int32),    # ignored_gt
+            np.ctypeslib.ndpointer(np.int32),    # dc_counts
+            np.ctypeslib.ndpointer(np.float64),  # dc_bbox4
+            np.ctypeslib.ndpointer(np.int32),    # det_counts
+            np.ctypeslib.ndpointer(np.float64),  # det_boxes7
+            np.ctypeslib.ndpointer(np.float64),  # det_bbox4
+            np.ctypeslib.ndpointer(np.float64),  # det_scores
+            np.ctypeslib.ndpointer(np.int32),    # ignored_det
         ]
         _ap_lib = lib
     return _ap_lib
@@ -90,24 +92,26 @@ def _get_loader_lib():
 _METRIC_IDS = {"image": 0, "ground": 1, "3d": 2}
 
 
-def kitti_ap_native(gt_counts, gt_boxes7, gt_bbox4, gt_kind,
+def kitti_ap_native(gt_counts, gt_boxes7, gt_bbox4, ignored_gt,
+                    dc_counts, dc_bbox4,
                     det_counts, det_boxes7, det_bbox4, det_scores,
-                    det_is_class, metric: str, min_iou: float,
-                    min_height: float) -> float:
+                    ignored_det, metric: str, min_iou: float) -> float:
     lib = _get_ap_lib()
     if lib is None:
         raise RuntimeError("libkitti_ap.so not built")
     return lib.kitti_ap(
-        _METRIC_IDS[metric], min_iou, min_height, len(gt_counts),
+        _METRIC_IDS[metric], min_iou, len(gt_counts),
         np.ascontiguousarray(gt_counts, np.int32),
         np.ascontiguousarray(gt_boxes7, np.float64).reshape(-1),
         np.ascontiguousarray(gt_bbox4, np.float64).reshape(-1),
-        np.ascontiguousarray(gt_kind, np.int32),
+        np.ascontiguousarray(ignored_gt, np.int32),
+        np.ascontiguousarray(dc_counts, np.int32),
+        np.ascontiguousarray(dc_bbox4, np.float64).reshape(-1),
         np.ascontiguousarray(det_counts, np.int32),
         np.ascontiguousarray(det_boxes7, np.float64).reshape(-1),
         np.ascontiguousarray(det_bbox4, np.float64).reshape(-1),
         np.ascontiguousarray(det_scores, np.float64),
-        np.ascontiguousarray(det_is_class, np.int32))
+        np.ascontiguousarray(ignored_det, np.int32))
 
 
 # ------------------------------------------------------------ loader
