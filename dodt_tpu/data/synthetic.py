@@ -71,8 +71,12 @@ def _project(pts_cam):
 class SyntheticScene:
     """Deterministic multi-frame scene of moving cars."""
 
-    def __init__(self, video_id: int, num_frames: int = 8, num_cars: int = 4,
-                 seed: int = 0, ego_speed: float = 0.0):
+    def __init__(self, video_id: int, num_frames: int = 8,
+                 num_cars: int = 4, seed: int = 0,
+                 ego_speed: float = 0.0, points_per_car: int = 384,
+                 ground_points: int = 3000):
+        self.points_per_car = points_per_car
+        self.ground_points = ground_points
         rng = np.random.RandomState(seed * 100 + video_id)
         self.video_id = video_id
         self.num_frames = num_frames
@@ -116,8 +120,9 @@ class SyntheticScene:
                 out.append((cid, b))
         return out
 
-    def point_cloud_at(self, frame: int, n_ground: int = 3000):
+    def point_cloud_at(self, frame: int, n_ground: int | None = None):
         """(N, 4) velo-frame points for the frame."""
+        n_ground = n_ground or self.ground_points
         rng = np.random.RandomState(1000 + self.video_id * 100 + frame)
         pts = []
         gx = rng.uniform(-30, 30, n_ground)
@@ -125,7 +130,8 @@ class SyntheticScene:
         gy = np.full(n_ground, GROUND_Y) + rng.normal(0, 0.02, n_ground)
         pts.append(np.stack([gx, gy, gz], axis=1))
         for cid, box in self.camera_boxes_at(frame):
-            pts.append(_box_surface_points(box, rng, 384))
+            pts.append(_box_surface_points(box, rng,
+                                           self.points_per_car))
         pts_cam = np.concatenate(pts).astype(np.float32)
         pts_velo = _cam_to_velo(pts_cam)
         intensity = rng.uniform(0, 1, (len(pts_velo), 1)).astype(np.float32)
@@ -167,7 +173,10 @@ class SyntheticScene:
 
 def write_tracking_fixture(root: str, num_videos: int = 2,
                            num_frames: int = 8, seed: int = 0,
-                           ego_speed: float = 0.0) -> str:
+                           ego_speed: float = 0.0,
+                           num_cars: int = 4,
+                           points_per_car: int = 384,
+                           ground_points: int = 3000) -> str:
     """Write a synthetic KITTI tracking dataset under `root`.
 
     Layout: root/training/{velodyne,image_02,calib,label_02,oxts,planes}
@@ -180,8 +189,10 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
     scenes = []
     split_groups = []
     for vid in range(num_videos):
-        scene = SyntheticScene(vid, num_frames, seed=seed,
-                               ego_speed=ego_speed)
+        scene = SyntheticScene(vid, num_frames, num_cars=num_cars,
+                               seed=seed, ego_speed=ego_speed,
+                               points_per_car=points_per_car,
+                               ground_points=ground_points)
         scenes.append(scene)
         vdir = os.path.join(base, "velodyne", f"{vid:04d}")
         idir = os.path.join(base, "image_02", f"{vid:04d}")

@@ -282,21 +282,58 @@ class Trainer:
             batch = mesh_lib.shard_batch(batch, self.mesh)
         return batch
 
-    def train(self, max_steps: Optional[int] = None, log_every: int = 10):
+    def train(self, max_steps: Optional[int] = None, log_every: int = 10,
+              prefetch: int = 2):
+        """Train loop with host/device overlap: a background thread
+        loads + device_puts the next `prefetch` batches while the
+        device runs the current step, so train-step wall time tracks
+        device time instead of device + host time (the reference's
+        feed_dict loop pays both serially — SURVEY section 3.1 hot
+        loop; eliminated per SURVEY section 7 stage 8)."""
         state = self.init_or_restore()
         max_steps = max_steps or self.cfg.train.max_iterations
         history = []
         t0 = time.time()
-        while int(state.step) < max_steps:
-            batch = self._device_batch()
-            state, losses = self.step_fn(state, batch, self.rng)
-            step = int(state.step)
-            if step % log_every == 0 or step == max_steps:
-                losses = {k: float(v) for k, v in losses.items()}
-                losses["step"] = step
-                losses["wall_s"] = time.time() - t0
-                history.append(losses)
-            if step % self.cfg.train.checkpoint_interval == 0 or \
-                    step == max_steps:
-                self.ckpt.save(step, state)
+
+        import queue
+        import threading
+        q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        stop = threading.Event()
+
+        def _producer():
+            while not stop.is_set():
+                batch = self._device_batch()
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        producer = None
+        if prefetch > 0:
+            producer = threading.Thread(target=_producer, daemon=True)
+            producer.start()
+        try:
+            while int(state.step) < max_steps:
+                batch = q.get() if producer else self._device_batch()
+                state, losses = self.step_fn(state, batch, self.rng)
+                step = int(state.step)
+                if step % log_every == 0 or step == max_steps:
+                    losses = {k: float(v) for k, v in losses.items()}
+                    losses["step"] = step
+                    losses["wall_s"] = time.time() - t0
+                    history.append(losses)
+                if step % self.cfg.train.checkpoint_interval == 0 or \
+                        step == max_steps:
+                    self.ckpt.save(step, state)
+        finally:
+            stop.set()
+            if producer is not None:
+                while producer.is_alive():
+                    try:  # unblock a producer stuck on a full queue
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    producer.join(timeout=0.2)
         return state, history
