@@ -124,3 +124,49 @@ def test_writer_score_threshold():
         boxes, np.array([0.05]), np.array([0]), calib, (1242, 375),
         score_threshold=0.1)
     assert lines == []
+
+
+def test_multiclass_people_preset_eval(tmp_path):
+    """The people preset (multi-class head) must be scorable: the
+    evaluator loops all classes with per-class min IoU (0.7 Car, 0.5
+    others) and reports ap_per_class (VERDICT round-1 item 9)."""
+    import jax
+    import jax.numpy as jnp
+    from dodt_tpu import config as cfg_mod
+    from dodt_tpu.data import synthetic, tracking
+    from dodt_tpu.models import dt_avod
+    from dodt_tpu.runtime.trainer import (CheckpointIO, TrainState,
+                                          create_train_state)
+    from dodt_tpu.runtime.evaluator import Evaluator
+
+    root = str(tmp_path / "kitti")
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=3)
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.classes = ("Pedestrian", "Cyclist")
+    cfg.dataset.num_clusters = (1, 1)
+    cfg.dataset.video_train_ids = (0,)
+    cfg.dataset.max_points = 4096
+
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="trainval")
+    clusters = ((0.8, 0.6, 1.7), (1.8, 0.6, 1.7))
+    model = dt_avod.DtAvodNet(cfg=cfg, cluster_sizes=clusters)
+
+    batch = {k: jnp.asarray(v)[None]
+             for k, v in ds.load_couple(0, augs=()).items()
+             if isinstance(v, np.ndarray)}
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    ck = CheckpointIO(str(tmp_path / "ckpt"))
+    ck.save(1, state._replace(step=np.int32(1)))
+
+    ev = Evaluator(cfg, model, ds, ckpt_dir=str(tmp_path / "ckpt"),
+                   output_dir=str(tmp_path / "eval"))
+    results = ev.run_checkpoint_once(1)
+    assert set(results["ap_per_class"]) == {"Pedestrian", "Cyclist"}
+    for cls_name in ("Pedestrian", "Cyclist"):
+        per = results["ap_per_class"][cls_name]
+        assert set(per) == {"AP_2D", "AP_BEV", "AP_3D"}
+        for m in per.values():
+            assert set(m) == {"easy", "moderate", "hard"}
+    # primary-class view stays backward compatible
+    assert results["ap"] is results["ap_per_class"]["Pedestrian"]
