@@ -74,6 +74,14 @@ def generate_sample_couples(split_file: str, data_stride: int, split: str,
     return couples
 
 
+def _first_existing_dir(base: str, *names: str) -> str:
+    for n in names:
+        p = os.path.join(base, n)
+        if os.path.isdir(p):
+            return p
+    return os.path.join(base, names[0])
+
+
 class KittiTrackingDataset:
     """Host-side loader producing fixed-shape numpy sample dicts."""
 
@@ -82,9 +90,12 @@ class KittiTrackingDataset:
         self.split = split or cfg.data_split
         base = os.path.join(cfg.dataset_dir, cfg.data_split_dir)
         self.velo_dir = os.path.join(base, "velodyne")
-        self.image_dir = os.path.join(base, "image_02")
+        # real KITTI tracking uses image_02/label_02; the AVOD-era
+        # fixture layout (reference avod/tests/datasets/Kitti/tracking)
+        # uses the older image_2/label_2 names
+        self.image_dir = _first_existing_dir(base, "image_02", "image_2")
         self.calib_dir = os.path.join(base, "calib")
-        self.label_dir = os.path.join(base, "label_02")
+        self.label_dir = _first_existing_dir(base, "label_02", "label_2")
         self.oxts_dir = os.path.join(base, "oxts")
         self.planes_dir = os.path.join(base, "planes")
         self.has_labels = os.path.isdir(self.label_dir)
