@@ -172,7 +172,11 @@ class ModelConfig:
     tower_dtype: str = "bfloat16"
     # "fast" = parallel one-pass NMS (TPU-friendly, subset of greedy's
     # picks); "greedy" = exact sequential tf.image.non_max_suppression
-    nms_mode: str = "fast"
+    # "exact" = parallel fixpoint NMS with exact greedy semantics (the
+    # measured fast-vs-greedy gap is ~5 AP_3D moderate on a trained
+    # checkpoint — results_r02/fixture_ap.json — so subset-keeping
+    # "fast" is opt-in, not the default)
+    nms_mode: str = "exact"
 
 
 # ---------------------------------------------------------------- train/eval

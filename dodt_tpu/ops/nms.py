@@ -1,19 +1,26 @@
 """Fixed-capacity NMS, TPU-shaped (static output sizes).
 
-Two modes (picked by config `nms_mode`):
+Three modes (picked by config `nms_mode`):
 
-* `nms_bev` — exact greedy tf.image.non_max_suppression semantics,
-  a fori_loop of max_out argmax+suppress steps. Exact, but the loop is
-  sequential: each of the max_out iterations is a device round of tiny
-  vector work, so latency grows linearly with max_out.
-* `nms_bev_fast` — the "fast NMS" variant (as in YOLACT/Matrix-NMS
-  families): a box is suppressed if ANY strictly higher-scored box
-  overlaps it above the threshold, computed in one O(N^2) fully
-  parallel pass. Differs from greedy only through suppression chains
-  (a box suppressed by an itself-suppressed box stays suppressed), so
-  fast-NMS keeps a SUBSET of greedy's picks; at the thresholds DODT
-  uses (RPN 0.8, final 0.01) the difference is marginal and the
-  latency win on TPU is ~10x.
+* `nms_bev_exact` (default) — exact greedy
+  tf.image.non_max_suppression semantics computed by FIXPOINT
+  ITERATION of a parallel suppression pass: keep[i] holds iff no KEPT
+  strictly-higher-scored box overlaps i above the threshold. That
+  recursion is well-founded over the strict score order, so iterating
+  the O(N^2) fully-parallel pass converges to the unique fixpoint
+  (= greedy's keep set) in at most chain-depth passes — typically 2-5,
+  versus max_out (~100-300) sequential argmax rounds for the loop
+  formulation. Exact at parallel-NMS speeds.
+* `nms_bev` ("greedy") — the sequential oracle: a fori_loop of max_out
+  argmax+suppress steps. Each iteration is a device round of tiny
+  vector work, so latency grows linearly with max_out; kept as the
+  semantics oracle and for debugging.
+* `nms_bev_fast` — single-pass "fast NMS" (YOLACT/Matrix-NMS family):
+  a box is suppressed if ANY strictly higher-scored box overlaps it,
+  even one that is itself suppressed, so it keeps a SUBSET of greedy's
+  picks. Measured on a fixture-trained checkpoint this costs ~5 AP_3D
+  moderate vs exact greedy (results_r02/fixture_ap.json nms_ab), which
+  is why it is no longer the default.
 
 The reference relies on dynamic-size NMS outputs; here the output is a
 static (max_out,) index vector plus a validity mask.
@@ -86,8 +93,49 @@ def nms_bev_fast(boxes: jnp.ndarray, scores: jnp.ndarray,
     return out_idx.astype(jnp.int32), top_scores > NEG_INF / 2
 
 
+def nms_bev_exact(boxes: jnp.ndarray, scores: jnp.ndarray,
+                  valid: jnp.ndarray, max_out: int, iou_thresh: float):
+    """Exact greedy NMS via fixpoint iteration of the parallel pass.
+
+    keep[i] = valid[i] and no kept j with (s_j, -j) > (s_i, -i) and
+    iou[i, j] > thresh. The dependency graph is a DAG over the strict
+    score order: after k passes every box whose longest dominating
+    chain has depth <= k holds its final value, so iterating until the
+    suppression mask stops changing yields exactly greedy's keep set
+    (and greedy's pick order is score order, so top-k of the keep set
+    equals greedy's first max_out picks).
+    """
+    n = boxes.shape[0]
+    iou = aligned_iou_matrix(boxes, boxes)           # (N, N)
+    s = jnp.where(valid, scores, NEG_INF)
+    idx = jnp.arange(n)
+    dom = ((s[:, None] < s[None, :]) |
+           ((s[:, None] == s[None, :]) & (idx[:, None] > idx[None, :])))
+    dom = dom & (iou > iou_thresh) & valid[None, :]  # j dominates i
+
+    def cond(state):
+        supp, prev, it = state
+        return (it < n) & jnp.any(supp != prev)
+
+    def body(state):
+        supp, _, it = state
+        new = jnp.any(dom & ~supp[None, :], axis=1)
+        return new, supp, it + 1
+
+    supp0 = jnp.any(dom, axis=1)                     # first pass
+    supp, _, _ = jax.lax.while_loop(
+        cond, body, (supp0, jnp.zeros_like(supp0), jnp.int32(1)))
+    keep_score = jnp.where(valid & ~supp, s, NEG_INF)
+    top_scores, out_idx = jax.lax.top_k(keep_score, max_out)
+    return out_idx.astype(jnp.int32), top_scores > NEG_INF / 2
+
+
 def nms_bev_mode(mode: str):
-    return nms_bev_fast if mode == "fast" else nms_bev
+    if mode == "fast":
+        return nms_bev_fast
+    if mode == "greedy":
+        return nms_bev
+    return nms_bev_exact
 
 
 def top_k_prefilter(scores: jnp.ndarray, valid: jnp.ndarray, k: int):

@@ -146,11 +146,24 @@ class Evaluator:
                                      ("3d", "AP_3D"))}
         ap = ap_per_class[self.cfg.dataset.classes[0]]
 
+        # ---- second pass at min IoU 0.5 for every class, mirroring
+        # the reference's evaluate_object_3d_offline_05_iou run
+        # (scripts/offline_eval/all_eval.sh executes both binaries)
+        ap_05_per_class = {}
+        for cls_name in self.cfg.dataset.classes:
+            ap_05_per_class[cls_name] = {
+                name: kitti_ap.evaluate_ap(gts, det_frames, cls_name,
+                                           metric, 0.5)
+                for metric, name in (("image", "AP_2D"),
+                                     ("ground", "AP_BEV"),
+                                     ("3d", "AP_3D"))}
+
         # ---- tracking
         mot = self._run_tracking(video_dets, video_img_size)
 
         results = {"step": int(step), "ap": ap,
-                   "ap_per_class": ap_per_class, "mot": mot}
+                   "ap_per_class": ap_per_class,
+                   "ap_05_per_class": ap_05_per_class, "mot": mot}
         with open(os.path.join(self.output_dir,
                                f"results_{step}.json"), "w") as f:
             json.dump(results, f, indent=2)

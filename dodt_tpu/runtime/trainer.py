@@ -314,13 +314,20 @@ class Trainer:
         if prefetch > 0:
             producer = threading.Thread(target=_producer, daemon=True)
             producer.start()
+        window = []  # device scalars; fetched only at log points
         try:
             while int(state.step) < max_steps:
                 batch = q.get() if producer else self._device_batch()
                 state, losses = self.step_fn(state, batch, self.rng)
+                window.append(losses)
                 step = int(state.step)
                 if step % log_every == 0 or step == max_steps:
-                    losses = {k: float(v) for k, v in losses.items()}
+                    # window-averaged losses: per-sample losses are far
+                    # too noisy (batch 1) to read a trend from
+                    losses = {k: float(jnp.mean(jnp.stack(
+                        [w[k] for w in window])))
+                        for k in window[0]}
+                    window = []
                     losses["step"] = step
                     losses["wall_s"] = time.time() - t0
                     history.append(losses)

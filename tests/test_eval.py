@@ -170,3 +170,7 @@ def test_multiclass_people_preset_eval(tmp_path):
             assert set(m) == {"easy", "moderate", "hard"}
     # primary-class view stays backward compatible
     assert results["ap"] is results["ap_per_class"]["Pedestrian"]
+    # the 0.5-IoU second pass (reference evaluate_object_3d_offline_05_iou)
+    assert set(results["ap_05_per_class"]) == {"Pedestrian", "Cyclist"}
+    for per in results["ap_05_per_class"].values():
+        assert set(per) == {"AP_2D", "AP_BEV", "AP_3D"}

@@ -73,6 +73,43 @@ def test_nms_matches_numpy_greedy():
         assert got == want, (thresh, got, want)
 
 
+def test_exact_parallel_nms_matches_sequential_greedy():
+    """The fixpoint-iterated parallel NMS must reproduce greedy exactly,
+    including at the chain-heavy 0.01 threshold the final stage uses."""
+    rng = np.random.RandomState(11)
+    for seed in range(4):
+        rng = np.random.RandomState(seed)
+        n = 96
+        xy = rng.uniform(0, 12, (n, 2))
+        wh = rng.uniform(1, 4, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        valid = rng.rand(n) < 0.9
+        for thresh in (0.01, 0.3, 0.8):
+            gi, gok = nms.nms_bev(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(valid), 24, thresh)
+            ei, eok = nms.nms_bev_exact(jnp.asarray(boxes),
+                                        jnp.asarray(scores),
+                                        jnp.asarray(valid), 24, thresh)
+            want = list(np.array(gi)[np.array(gok)])
+            got = list(np.array(ei)[np.array(eok)])
+            assert got == want, (seed, thresh, got, want)
+
+
+def test_exact_nms_recovers_fast_nms_chain_loss():
+    """Suppression chain A(.9) overlaps B(.8) overlaps C(.7), A does not
+    overlap C: greedy keeps A and C; single-pass fast NMS loses C."""
+    boxes = jnp.array([[0.0, 0, 2, 2],
+                       [1.5, 0, 3.5, 2],
+                       [3.0, 0, 5.0, 2]], jnp.float32)
+    scores = jnp.array([0.9, 0.8, 0.7])
+    valid = jnp.ones(3, bool)
+    ei, eok = nms.nms_bev_exact(boxes, scores, valid, 3, 0.05)
+    assert list(np.array(ei)[np.array(eok)]) == [0, 2]
+    fi, fok = nms.nms_bev_fast(boxes, scores, valid, 3, 0.05)
+    assert list(np.array(fi)[np.array(fok)]) == [0]
+
+
 def test_nms_respects_valid_mask():
     boxes = jnp.array([[0, 0, 1, 1], [10, 10, 11, 11]], jnp.float32)
     scores = jnp.array([0.9, 0.8])
