@@ -1,4 +1,6 @@
-import time, functools
+import os, sys, time, functools
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 from dodt_tpu.config import cars_dt_tracking

@@ -13,6 +13,7 @@ returns a boolean mask (fixed shape) instead of a gathered subset.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -134,8 +135,20 @@ def empty_anchor_mask(integral_2d: jnp.ndarray, anchors: jnp.ndarray,
 
 
 def integral_image_2d(grid: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) -> (H+1, W+1) zero-padded 2D prefix sum."""
-    c = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
+    """(H, W) -> (H+1, W+1) zero-padded 2D prefix sum.
+
+    Computed as L @ grid @ U with triangular ones matrices: on TPU the
+    lane-axis cumsum lowers to a slow serial/reduce-window form
+    (~1.8 ms on a 704x800 grid), while the matmul form runs on the MXU
+    in tens of microseconds. Precision HIGHEST keeps f32 accumulation
+    exact for integer occupancy counts (< 2^24), which matters because
+    integral queries difference large corner values.
+    """
+    h, w = grid.shape
+    lo = jnp.tril(jnp.ones((h, h), grid.dtype))
+    up = jnp.triu(jnp.ones((w, w), grid.dtype))
+    c = jnp.dot(jnp.dot(lo, grid, precision=jax.lax.Precision.HIGHEST),
+                up, precision=jax.lax.Precision.HIGHEST)
     return jnp.pad(c, ((1, 0), (1, 0)))
 
 
