@@ -76,7 +76,7 @@ class KittiDataset:
                 self.cfg.classes)
 
         ih, iw = self.cfg.image_shape
-        img = cv2.resize(img, (iw, ih)).astype(np.float32)
+        img = cv2.resize(img, (iw, ih))  # uint8: 4x smaller device copy
 
         if aug.AUG_FLIPPING in augs:
             img = aug.flip_image(img).copy()
@@ -87,7 +87,7 @@ class KittiDataset:
             gp = aug.flip_ground_plane(gp)
             p2 = aug.flip_calib_p2(p2, orig_shape)
         if aug.AUG_PCA_JITTER in augs:
-            img = aug.pca_jitter(img / 255.0, rng) * 255.0
+            img = aug.pca_jitter(img, rng)
 
         p = self.cfg.max_points
         n = len(cam)

@@ -109,7 +109,7 @@ class KittiTrackingStackDataset(KittiTrackingDataset):
             pts_list.append(p)
             valid_list.append(v)
             ih, iw = self.cfg.image_shape
-            images.append(cv2.resize(img, (iw, ih)).astype(np.float32))
+            images.append(cv2.resize(img, (iw, ih)))  # uint8
             labels.append(lab)
 
         out = {

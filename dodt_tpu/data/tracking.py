@@ -194,7 +194,10 @@ class KittiTrackingDataset:
                 labels.append(lab)
 
             ih, iw = self.cfg.image_shape
-            img = cv2.resize(img, (iw, ih)).astype(np.float32)
+            # keep uint8: the device batch ships 4x fewer bytes (the
+            # host->device image copy is the single largest transfer)
+            # and the tower casts on device
+            img = cv2.resize(img, (iw, ih))
             images.append(img)
             points.append(cam)
 
@@ -206,8 +209,7 @@ class KittiTrackingDataset:
             gp = aug.flip_ground_plane(gp)
             p2 = aug.flip_calib_p2(p2, orig_shape)
         if aug.AUG_PCA_JITTER in augs:
-            images = [aug.pca_jitter(im / 255.0, rng) * 255.0
-                      for im in images]
+            images = [aug.pca_jitter(im, rng) for im in images]
 
         # --------------------------------------------------------- pad
         pts_pad, pts_valid = zip(*(self._pad_points(p, rng)

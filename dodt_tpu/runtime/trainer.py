@@ -315,12 +315,17 @@ class Trainer:
             producer = threading.Thread(target=_producer, daemon=True)
             producer.start()
         window = []  # device scalars; fetched only at log points
+        # host-side step counter: fetching `int(state.step)` every
+        # iteration is a blocking device round trip per step that also
+        # prevents dispatch pipelining (the device sits idle while the
+        # host waits); the counter only needs syncing once at entry
+        step = int(state.step)
         try:
-            while int(state.step) < max_steps:
+            while step < max_steps:
                 batch = q.get() if producer else self._device_batch()
                 state, losses = self.step_fn(state, batch, self.rng)
                 window.append(losses)
-                step = int(state.step)
+                step += 1
                 if step % log_every == 0 or step == max_steps:
                     # window-averaged losses: per-sample losses are far
                     # too noisy (batch 1) to read a trend from
