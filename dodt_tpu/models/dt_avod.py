@@ -225,6 +225,13 @@ class DtAvodNet(nn.Module):
     def num_classes(self) -> int:
         return len(self.cfg.dataset.classes) + 1  # + background
 
+    @staticmethod
+    def loss_builder():
+        """Loss function for this model family (used by the Trainer so
+        every model trains with its own losses — reference analogue:
+        avod/dt_avod loss builders selected per model)."""
+        return compute_losses
+
     def setup(self):
         m = self.cfg.model
         dtype = jnp.bfloat16 if m.tower_dtype == "bfloat16" else jnp.float32

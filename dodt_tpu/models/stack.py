@@ -74,6 +74,12 @@ class StackAvodNet(nn.Module):
     def num_classes(self) -> int:
         return len(self.cfg.dataset.classes) + 1
 
+    @staticmethod
+    def loss_builder():
+        """Stack loss family (RPN on merged GT + per-frame AVOD +
+        coexist CE + corr smooth-L1); picked up by the Trainer."""
+        return compute_stack_losses
+
     def setup(self):
         m = self.cfg.model
         dtype = jnp.bfloat16 if m.tower_dtype == "bfloat16" \

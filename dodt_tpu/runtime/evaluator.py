@@ -47,16 +47,23 @@ class Evaluator:
     # ---------------------------------------------------------- core
 
     def predict_couple(self, params, idx: int) -> Dict:
-        """Run the model on one val couple; return per-frame detection
-        dicts in frame-0 coordinates."""
-        sample = self.dataset.load_couple(idx, augs=())
+        """Run the model on one val couple (or N-frame stack); return
+        detection dicts for the FIRST and LAST frame in frame-0
+        coordinates (the detection/tracking contract downstream — the
+        reference StackEvaluator likewise scores the keyframe and uses
+        the far frame for offsets/MoI)."""
+        if hasattr(self.dataset, "load_stack"):
+            sample = self.dataset.load_stack(idx, augs=())
+        else:
+            sample = self.dataset.load_couple(idx, augs=())
         batch = {k: jnp.asarray(v)[None] for k, v in sample.items()
                  if isinstance(v, np.ndarray)}
         out = self._apply({"params": params}, batch, train=False,
                           mode="val")
         thr = self.cfg.eval.kitti_score_threshold
+        n_frames = out["final_boxes_3d"].shape[1]
         dets = []
-        for f in range(2):
+        for f in (0, n_frames - 1):
             corr = (np.array(out["final_corr_offsets"][0])
                     if f == 0 and "final_corr_offsets" in out else None)
             dets.append(decode_lib.outputs_to_detections(

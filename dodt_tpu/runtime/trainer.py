@@ -98,6 +98,9 @@ def make_train_step(cfg: PipelineConfig, model, mesh=None):
     """
     frozen = None
     tx_holder = {}
+    loss_builder = (model.loss_builder()
+                    if hasattr(model, "loss_builder")
+                    else dt_avod.compute_losses)
 
     def get_tx(params):
         if "tx" not in tx_holder:
@@ -118,8 +121,7 @@ def make_train_step(cfg: PipelineConfig, model, mesh=None):
                               rngs={"dropout": drop_rng,
                                     "pathdrop": path_rng,
                                     "sampling": samp_rng})
-            total, losses = dt_avod.compute_losses(cfg, out, batch,
-                                                   samp_rng)
+            total, losses = loss_builder(cfg, out, batch, samp_rng)
             return total, losses
 
         (_, losses), grads = jax.value_and_grad(

@@ -86,3 +86,32 @@ def test_stack_model_forward_and_loss(setup):
     assert np.isfinite(float(total))
     for name, v in losses.items():
         assert np.isfinite(float(v)), name
+
+
+def test_stack_train_and_evaluate_end_to_end(setup, tmp_path):
+    """The stack family must be trainable through the generic Trainer
+    (model-selected loss: compute_stack_losses) and scorable through
+    the generic Evaluator (stack inputs, first/last frame dets) — the
+    reference's stack_trainer + StackEvaluator capability."""
+    from dodt_tpu.models.stack import StackAvodNet, compute_stack_losses
+    from dodt_tpu.runtime.trainer import Trainer
+    from dodt_tpu.runtime.evaluator import Evaluator
+
+    cfg, ds = setup
+    assert StackAvodNet.loss_builder() is compute_stack_losses
+
+    model = StackAvodNet(cfg=cfg, cluster_sizes=((3.9, 1.6, 1.52),))
+    cfg.train.checkpoint_interval = 2
+    trainer = Trainer(cfg, model, ds, str(tmp_path / "ckpt"),
+                      batch_size=1)
+    state, history = trainer.train(max_steps=2, log_every=1)
+    assert np.isfinite([h["total"] for h in history]).all()
+    assert "coexist" in history[-1]
+
+    ev_ds = stack_data.KittiTrackingStackDataset(cfg.dataset,
+                                                 split="trainval")
+    ev = Evaluator(cfg, model, ev_ds, ckpt_dir=str(tmp_path / "ckpt"),
+                   output_dir=str(tmp_path / "eval"))
+    results = ev.run_checkpoint_once(2)
+    assert set(results["ap"].keys()) == {"AP_2D", "AP_BEV", "AP_3D"}
+    assert "mot" in results
