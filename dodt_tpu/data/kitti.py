@@ -241,7 +241,14 @@ def filter_to_image_fov(pts_cam: np.ndarray, calib: FrameCalib,
 
 def read_ground_plane(planes_dir: str, sample_name: str) -> np.ndarray:
     """Read a plane file; normalizes so the normal's y is negative
-    (reference obj_utils.get_road_plane:271)."""
+    (reference obj_utils.get_road_plane:271).
+
+    Sanity check: in the y-down camera frame a road plane must sit
+    BELOW the camera, i.e. d > 0 after the y<0 normalization. KITTI
+    tracking planes files are stored in an inconsistent convention
+    that fails this (the reference hardcodes [0,-1,0,1.65] for
+    tracking for exactly this reason, obj_utils.get_road_plane:301);
+    fall back to the default plane when the file is unusable."""
     path = os.path.join(planes_dir, sample_name + ".txt")
     with open(path) as f:
         lines = [ln for ln in f.read().splitlines() if ln.strip()]
@@ -250,6 +257,8 @@ def read_ground_plane(planes_dir: str, sample_name: str) -> np.ndarray:
     plane = plane / norm
     if plane[1] > 0:
         plane = -plane
+    if plane[3] <= 0.2:  # ground at/above the camera: bogus file
+        return DEFAULT_GROUND_PLANE.copy()
     return plane
 
 

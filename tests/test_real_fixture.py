@@ -109,6 +109,19 @@ def test_lidar_matches_wavedata(dataset):
     np.testing.assert_allclose(velo_ours, velo_ref)
 
 
+def test_ground_plane_sane_on_real_tracking_planes(dataset):
+    """KITTI tracking planes files use a broken convention (ground
+    above the camera after normalization); the reference hardcodes
+    [0,-1,0,1.65] for tracking (obj_utils.get_road_plane:301). Our
+    reader must detect the bogus files and fall back — a wrong plane
+    empties every BEV height slice and silently kills all anchors
+    (this was a real 0-AP bug on this fixture)."""
+    for vid, frame in ((0, 0), (1, 0), (2, 41)):
+        gp = dataset.ground_plane(vid, frame)
+        assert gp[1] < 0          # normal points up (y-down frame)
+        assert gp[3] > 0.5        # ground well below the camera
+
+
 def test_load_couple_real_scene(dataset, cfg):
     # couple 10 = video 0001 frames (0, 1): 7 Cars in every frame
     s = dataset.load_couple(10)
