@@ -68,13 +68,27 @@ def _project(pts_cam):
     return uv
 
 
+# per-class dims (l, w, h ranges), speed scale and point-count scale
+# for the synthetic objects
+_CLASS_SPECS = {
+    "Car": dict(l=(3.4, 4.4), w=(1.5, 1.8), h=(1.4, 1.7),
+                speed=1.0, pts=1.0),
+    "Pedestrian": dict(l=(0.5, 0.9), w=(0.5, 0.8), h=(1.6, 1.9),
+                       speed=0.2, pts=0.5),
+    "Cyclist": dict(l=(1.5, 1.9), w=(0.4, 0.7), h=(1.5, 1.8),
+                    speed=0.6, pts=0.5),
+}
+
+
 class SyntheticScene:
-    """Deterministic multi-frame scene of moving cars."""
+    """Deterministic multi-frame scene of moving objects (cars by
+    default; pass `object_classes` for pedestrian/cyclist scenes)."""
 
     def __init__(self, video_id: int, num_frames: int = 8,
                  num_cars: int = 4, seed: int = 0,
                  ego_speed: float = 0.0, points_per_car: int = 384,
-                 ground_points: int = 3000):
+                 ground_points: int = 3000,
+                 object_classes=("Car",)):
         self.points_per_car = points_per_car
         self.ground_points = ground_points
         rng = np.random.RandomState(seed * 100 + video_id)
@@ -83,15 +97,19 @@ class SyntheticScene:
         self.ego_speed = ego_speed
         self.cars = []
         for cid in range(num_cars):
+            cls = object_classes[cid % len(object_classes)]
+            spec = _CLASS_SPECS[cls]
             x0 = rng.uniform(-8, 8)
             z0 = rng.uniform(8, 40)
-            vx = rng.uniform(-0.4, 0.4)
-            vz = rng.uniform(-0.8, 0.8)
+            vx = rng.uniform(-0.4, 0.4) * spec["speed"]
+            vz = rng.uniform(-0.8, 0.8) * spec["speed"]
             ry = rng.uniform(-np.pi, np.pi)
-            dims = (rng.uniform(3.4, 4.4), rng.uniform(1.5, 1.8),
-                    rng.uniform(1.4, 1.7))
+            dims = (rng.uniform(*spec["l"]), rng.uniform(*spec["w"]),
+                    rng.uniform(*spec["h"]))
             self.cars.append(dict(id=cid, x0=x0, z0=z0, vx=vx, vz=vz,
-                                  ry=ry, dims=dims))
+                                  ry=ry, dims=dims, cls=cls,
+                                  n_pts=max(32, int(points_per_car
+                                                    * spec["pts"]))))
         self.rng = rng
 
     def boxes_at(self, frame: int) -> list:
@@ -129,9 +147,9 @@ class SyntheticScene:
         gz = rng.uniform(5, 69, n_ground)
         gy = np.full(n_ground, GROUND_Y) + rng.normal(0, 0.02, n_ground)
         pts.append(np.stack([gx, gy, gz], axis=1))
+        n_by_id = {c["id"]: c["n_pts"] for c in self.cars}
         for cid, box in self.camera_boxes_at(frame):
-            pts.append(_box_surface_points(box, rng,
-                                           self.points_per_car))
+            pts.append(_box_surface_points(box, rng, n_by_id[cid]))
         pts_cam = np.concatenate(pts).astype(np.float32)
         pts_velo = _cam_to_velo(pts_cam)
         intensity = rng.uniform(0, 1, (len(pts_velo), 1)).astype(np.float32)
@@ -139,6 +157,7 @@ class SyntheticScene:
 
     def label_lines(self) -> list:
         lines = []
+        cls_by_id = {c["id"]: c["cls"] for c in self.cars}
         for frame in range(self.num_frames):
             for cid, box in self.camera_boxes_at(frame):
                 x, y, z, l, w, h, ry = box
@@ -152,7 +171,7 @@ class SyntheticScene:
                 y1, y2 = np.clip([y1, y2], 0, _IMG_H)
                 alpha = ry - np.arctan2(x, z)
                 lines.append(
-                    f"{frame} {cid} Car 0.00 0 {alpha:.2f} "
+                    f"{frame} {cid} {cls_by_id[cid]} 0.00 0 {alpha:.2f} "
                     f"{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
                     f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} "
                     f"{ry:.2f}")
@@ -176,7 +195,8 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
                            ego_speed: float = 0.0,
                            num_cars: int = 4,
                            points_per_car: int = 384,
-                           ground_points: int = 3000) -> str:
+                           ground_points: int = 3000,
+                           object_classes=("Car",)) -> str:
     """Write a synthetic KITTI tracking dataset under `root`.
 
     Layout: root/training/{velodyne,image_02,calib,label_02,oxts,planes}
@@ -192,7 +212,8 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
         scene = SyntheticScene(vid, num_frames, num_cars=num_cars,
                                seed=seed, ego_speed=ego_speed,
                                points_per_car=points_per_car,
-                               ground_points=ground_points)
+                               ground_points=ground_points,
+                               object_classes=object_classes)
         scenes.append(scene)
         vdir = os.path.join(base, "velodyne", f"{vid:04d}")
         idir = os.path.join(base, "image_02", f"{vid:04d}")

@@ -140,7 +140,9 @@ def test_multiclass_people_preset_eval(tmp_path):
     from dodt_tpu.runtime.evaluator import Evaluator
 
     root = str(tmp_path / "kitti")
-    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=3)
+    synthetic.write_tracking_fixture(
+        root, num_videos=1, num_frames=3,
+        object_classes=("Pedestrian", "Cyclist"))
     cfg = cfg_mod.unittest_pipeline()
     cfg.dataset.dataset_dir = root
     cfg.dataset.classes = ("Pedestrian", "Cyclist")
