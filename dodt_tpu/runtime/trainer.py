@@ -302,15 +302,35 @@ class Trainer:
         q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         stop = threading.Event()
 
+        producer_err = []
+
         def _producer():
-            while not stop.is_set():
-                batch = self._device_batch()
+            try:
                 while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                    batch = self._device_batch()
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # surface instead of silent hang
+                producer_err.append(e)
+                stop.set()
+
+        def _next_prefetched():
+            """q.get that fails loudly if the producer died (a daemon
+            thread exception would otherwise leave the train loop
+            blocked forever on an empty queue)."""
+            while True:
+                try:
+                    return q.get(timeout=5.0)
+                except queue.Empty:
+                    if producer_err:
+                        raise RuntimeError(
+                            "prefetch producer failed") from producer_err[0]
+                    if not producer.is_alive():
+                        raise RuntimeError("prefetch producer died")
 
         producer = None
         if prefetch > 0:
@@ -324,7 +344,8 @@ class Trainer:
         step = int(state.step)
         try:
             while step < max_steps:
-                batch = q.get() if producer else self._device_batch()
+                batch = (_next_prefetched() if producer
+                         else self._device_batch())
                 state, losses = self.step_fn(state, batch, self.rng)
                 window.append(losses)
                 step += 1
