@@ -46,7 +46,6 @@ def velodyne_like_points(rng, n):
     y = r * np.sin(-elev)  # camera y is down; negative elevation -> +y
     pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
     # car-like clusters
-    extra = n - len(pts)
     clusters = []
     for _ in range(12):
         cx, cz = rng.uniform(-20, 20), rng.uniform(6, 60)
@@ -56,12 +55,15 @@ def velodyne_like_points(rng, n):
             rng.uniform(0.0, 1.6, m),
             cz + rng.uniform(-0.9, 0.9, m)], axis=1))
     cl = np.concatenate(clusters)
-    if extra > 0:
-        pad = cl[rng.randint(0, len(cl), extra)]
-        pts = np.concatenate([pts, pad])
-    else:
-        idx = rng.permutation(len(pts))[:n]
-        pts = pts[idx]
+    # mix clusters INTO the scan, then subsample to exactly n (beams
+    # alone already total ~n, so appending only a remainder would drop
+    # the clusters entirely)
+    pts = np.concatenate([pts, cl])
+    idx = rng.permutation(len(pts))[:n]
+    pts = pts[idx]
+    if len(pts) < n:
+        pts = np.concatenate(
+            [pts, pts[rng.randint(0, len(pts), n - len(pts))]])
     return pts.astype(np.float32)
 
 

@@ -67,7 +67,6 @@ for step in trainer.ckpt.all_steps():
 # the AP delta through the parity-proven evaluator.
 nms_ab = {}
 for mode in ("fast", "greedy"):
-    import dataclasses
     cfg_m = cfg_mod.PipelineConfig.from_json(cfg.to_json())
     cfg_m.model.nms_mode = mode
     model_m = dt_avod.DtAvodNet(cfg=cfg_m,

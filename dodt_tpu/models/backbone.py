@@ -204,9 +204,13 @@ class VggPyramid(nn.Module):
 
 def preprocess_image(image: jnp.ndarray) -> jnp.ndarray:
     """Subtract KITTI channel means (reference
-    img_feature_extractor._mean_image_subtraction)."""
-    means = jnp.asarray(KITTI_IMAGE_MEANS, image.dtype)
-    return image - means
+    img_feature_extractor._mean_image_subtraction).
+
+    Always computes in float32: batches ship images as uint8 (4x
+    smaller host->device copy) and uint8 subtraction would wrap
+    modulo 256 for every pixel darker than the channel mean."""
+    img = image.astype(jnp.float32)
+    return img - jnp.asarray(KITTI_IMAGE_MEANS, jnp.float32)
 
 
 def pad_rows_for_stride(height: int, stride: int = 8) -> int:

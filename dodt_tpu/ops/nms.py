@@ -135,7 +135,10 @@ def nms_bev_mode(mode: str):
         return nms_bev_fast
     if mode == "greedy":
         return nms_bev
-    return nms_bev_exact
+    if mode == "exact":
+        return nms_bev_exact
+    raise ValueError(
+        f"nms_mode must be 'exact', 'greedy' or 'fast', got {mode!r}")
 
 
 def top_k_prefilter(scores: jnp.ndarray, valid: jnp.ndarray, k: int):

@@ -155,9 +155,14 @@ class Evaluator:
 
         # ---- second pass at min IoU 0.5 for every class, mirroring
         # the reference's evaluate_object_3d_offline_05_iou run
-        # (scripts/offline_eval/all_eval.sh executes both binaries)
+        # (scripts/offline_eval/all_eval.sh executes both binaries).
+        # Non-Car classes are already scored at 0.5 in the first pass —
+        # reuse those results instead of recomputing.
         ap_05_per_class = {}
         for cls_name in self.cfg.dataset.classes:
+            if cls_name != "Car":
+                ap_05_per_class[cls_name] = ap_per_class[cls_name]
+                continue
             ap_05_per_class[cls_name] = {
                 name: kitti_ap.evaluate_ap(gts, det_frames, cls_name,
                                            metric, 0.5)

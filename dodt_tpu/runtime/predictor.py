@@ -142,16 +142,17 @@ class StreamingPredictor:
         return self._pair({"params": self.params}, prev, state)
 
     def latency_stats(self) -> Dict:
-        """`encode` = first-frame encode (cold path, one per stream);
-        `pair` = steady-state fused encode+pair step per keyframe."""
+        """`encode_cold` = the one first-frame encode per stream — it
+        INCLUDES jit compilation, so it is stream-startup cost, not a
+        steady-state latency; `pair` = steady-state fused encode+pair
+        step per keyframe (first warm sample dropped)."""
         from dodt_tpu.utils.metrics import latency_stats
-
-        def stats(times):
-            return latency_stats(times[1:] if len(times) > 1 else times)
 
         out = {}
         if self.encode_times:
-            out["encode"] = stats(self.encode_times)
+            out["encode_cold"] = latency_stats(self.encode_times)
         if self.pair_times:
-            out["pair"] = stats(self.pair_times)
+            out["pair"] = latency_stats(
+                self.pair_times[1:] if len(self.pair_times) > 1
+                else self.pair_times)
         return out

@@ -262,6 +262,7 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         self.step_fn = make_train_step(cfg, model, mesh)
         self.rng = jax.random.PRNGKey(42)
+        self._spare_batches: list = []  # prefetched across train() calls
 
     def init_or_restore(self) -> TrainState:
         batch = self._device_batch(augment=False)
@@ -321,7 +322,11 @@ class Trainer:
         def _next_prefetched():
             """q.get that fails loudly if the producer died (a daemon
             thread exception would otherwise leave the train loop
-            blocked forever on an empty queue)."""
+            blocked forever on an empty queue). Consumes batches left
+            over from a previous train() call first, so prefetching
+            does not skip samples between calls."""
+            if self._spare_batches:
+                return self._spare_batches.pop(0)
             while True:
                 try:
                     return q.get(timeout=5.0)
@@ -367,8 +372,13 @@ class Trainer:
             if producer is not None:
                 while producer.is_alive():
                     try:  # unblock a producer stuck on a full queue
-                        q.get_nowait()
+                        self._spare_batches.append(q.get_nowait())
                     except queue.Empty:
                         pass
                     producer.join(timeout=0.2)
+                while True:  # keep already-loaded batches for the next
+                    try:     # train() call instead of dropping samples
+                        self._spare_batches.append(q.get_nowait())
+                    except queue.Empty:
+                        break
         return state, history

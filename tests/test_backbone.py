@@ -74,3 +74,22 @@ def test_decode_stride_shapes():
     tp = VggPyramid(_cfg(pyramid=False), dtype=jnp.float32)
     v = tp.init(key, x)
     assert tp.apply(v, x).shape == (1, 16, 20, 16)
+
+
+def test_preprocess_image_uint8_no_wraparound():
+    """Batches ship uint8 images; mean subtraction must happen in
+    float32 — uint8 arithmetic wraps modulo 256 for every pixel darker
+    than the channel mean (50 - 92 would become 214)."""
+    import jax.numpy as jnp
+    from dodt_tpu.models.backbone import (preprocess_image,
+                                          KITTI_IMAGE_MEANS)
+
+    img_u8 = jnp.full((1, 4, 4, 3), 50, jnp.uint8)
+    out = preprocess_image(img_u8)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.array(out[0, 0, 0]),
+        50.0 - np.array(KITTI_IMAGE_MEANS), atol=1e-5)
+    # float input gives identical results
+    out_f = preprocess_image(img_u8.astype(jnp.float32))
+    np.testing.assert_allclose(np.array(out), np.array(out_f))

@@ -135,7 +135,7 @@ def test_multiclass_people_preset_eval(tmp_path):
     from dodt_tpu import config as cfg_mod
     from dodt_tpu.data import synthetic, tracking
     from dodt_tpu.models import dt_avod
-    from dodt_tpu.runtime.trainer import (CheckpointIO, TrainState,
+    from dodt_tpu.runtime.trainer import (CheckpointIO,
                                           create_train_state)
     from dodt_tpu.runtime.evaluator import Evaluator
 

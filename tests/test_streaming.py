@@ -80,4 +80,4 @@ def test_streaming_rolls_state(setup):
     out = pred.push_keyframe(frame_view(batch, 0))
     assert out is not None  # pair (1, 0) produced from cached state
     stats = pred.latency_stats()
-    assert "encode" in stats and "pair" in stats
+    assert "encode_cold" in stats and "pair" in stats
