@@ -1,0 +1,69 @@
+"""Serving-scale probe: aggregate throughput when one chip hosts B
+concurrent streams (batch-first everywhere, so B streams = leading
+batch axis B through the same jitted encode/pair path). Fixed costs
+(dispatch, small ops, NMS tails) amortize across streams, so aggregate
+frames/s grows superlinearly until the towers saturate the chip.
+
+Run: python benchmarks/profile_batched_streams.py [max_B]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import bench as B  # noqa: E402
+from dodt_tpu.config import cars_dt_tracking  # noqa: E402
+from dodt_tpu.data.clusters import DEFAULT_CAR_CLUSTERS  # noqa: E402
+from dodt_tpu.models.dt_avod import DtAvodNet  # noqa: E402
+from dodt_tpu.utils.metrics import device_sync  # noqa: E402
+
+MAX_B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+TAU = 3
+
+cfg = cars_dt_tracking()
+cfg.dataset.max_points = 65536
+model = DtAvodNet(cfg=cfg, cluster_sizes=DEFAULT_CAR_CLUSTERS)
+rng = np.random.RandomState(0)
+base = B.make_batch(cfg, rng)
+
+key = jax.random.PRNGKey(0)
+init_fn = jax.jit(model.init, static_argnames=("train", "mode"))
+variables = init_fn({"params": key, "dropout": key, "pathdrop": key},
+                    {k: jnp.asarray(v) for k, v in base.items()},
+                    train=False, mode="val")
+
+enc = jax.jit(lambda v, b: model.apply(v, b, method=model.encode_frame))
+pair = jax.jit(lambda v, a, b: model.apply(v, a, b,
+                                           method=model.pair_stage))
+
+for nb in (1, 2, MAX_B):
+    frame = {
+        "points": jnp.asarray(np.repeat(base["points"][:, 0], nb, 0)),
+        "points_valid": jnp.asarray(
+            np.repeat(base["points_valid"][:, 0], nb, 0)),
+        "image": jnp.asarray(np.repeat(base["image"][:, 0], nb, 0)),
+        "ground_plane": jnp.asarray(
+            np.repeat(base["ground_plane"], nb, 0)),
+        "p2": jnp.asarray(np.repeat(base["p2"], nb, 0)),
+        "orig_image_shape": jnp.asarray(
+            np.repeat(base["orig_image_shape"], nb, 0)),
+    }
+    state = enc({"params": variables["params"]}, frame)
+    out = pair({"params": variables["params"]}, state, state)
+    device_sync(out["final_boxes_3d"])
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state = enc({"params": variables["params"]}, frame)
+        out = pair({"params": variables["params"]}, state, state)
+    device_sync(out["final_boxes_3d"])
+    dt = (time.perf_counter() - t0) / n_iters
+    fps = nb * TAU / dt
+    print(f"B={nb}: keyframe {dt*1000:.2f} ms -> aggregate "
+          f"{fps:.1f} frames/s (tau={TAU})", flush=True)
