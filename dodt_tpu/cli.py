@@ -70,10 +70,14 @@ def cmd_evaluate(args):
 
     cfg, ds, model = _build(args.config, args.split)
     ev = Evaluator(cfg, model, ds, args.ckpt_dir, args.output_dir)
+    # MoI stride evaluation (reference DtEvaluatorStride): fill the
+    # tau-1 non-keyframes per couple at save time
+    interp = args.interpolate or cfg.dataset.data_stride > 1
     if args.repeat:
         results = ev.repeated_checkpoint_run()
     else:
-        results = [ev.run_checkpoint_once(args.step)]
+        results = [ev.run_checkpoint_once(args.step,
+                                          interpolate=interp)]
     print(json.dumps(results[-1], indent=2, default=float))
 
 
@@ -181,6 +185,9 @@ def main(argv=None):
     e.add_argument("--split", default="val")
     e.add_argument("--step", type=int, default=None)
     e.add_argument("--repeat", action="store_true")
+    e.add_argument("--interpolate", action="store_true",
+                   help="MoI-fill non-keyframes (auto when "
+                        "data_stride > 1)")
     e.set_defaults(fn=cmd_evaluate)
 
     i = sub.add_parser("infer")

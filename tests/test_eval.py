@@ -176,3 +176,48 @@ def test_multiclass_people_preset_eval(tmp_path):
     assert set(results["ap_05_per_class"]) == {"Pedestrian", "Cyclist"}
     for per in results["ap_05_per_class"].values():
         assert set(per) == {"AP_2D", "AP_BEV", "AP_3D"}
+
+
+def test_stride_eval_interpolates_non_keyframes(tmp_path):
+    """tau=3 stride evaluation (reference DtEvaluatorStride): with
+    interpolate=True the evaluator must write prediction files for the
+    tau-1 non-keyframes between each strided couple and include them in
+    the MOT bookkeeping."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from dodt_tpu import config as cfg_mod
+    from dodt_tpu.data import synthetic, tracking
+    from dodt_tpu.models import dt_avod
+    from dodt_tpu.runtime.trainer import CheckpointIO, create_train_state
+    from dodt_tpu.runtime.evaluator import Evaluator
+
+    root = str(tmp_path / "kitti")
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=7)
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.data_stride = 3
+    cfg.dataset.video_train_ids = (0,)
+    cfg.dataset.max_points = 4096
+
+    # strided couples: frames (0,3), (3,6), (6,6)
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="test")
+    assert [(c.frame_a, c.frame_b) for c in ds.couples] == \
+        [(0, 3), (3, 6), (6, 6)]
+
+    model = dt_avod.DtAvodNet(cfg=cfg,
+                              cluster_sizes=((3.9, 1.6, 1.52),))
+    batch = {k: jnp.asarray(v)[None]
+             for k, v in ds.load_couple(0, augs=()).items()
+             if isinstance(v, np.ndarray)}
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    ck = CheckpointIO(str(tmp_path / "ckpt"))
+    ck.save(1, state._replace(step=np.int32(1)))
+
+    ev = Evaluator(cfg, model, ds, ckpt_dir=str(tmp_path / "ckpt"),
+                   output_dir=str(tmp_path / "eval"))
+    ev.run_checkpoint_once(1, interpolate=True)
+    pred_dir = str(tmp_path / "eval" / "predictions_1" / "data")
+    names = sorted(os.listdir(pred_dir))
+    # keyframes 0,3,6 AND interpolated 1,2,4,5 all written
+    assert names == [f"00{f:04d}.txt" for f in range(7)], names
