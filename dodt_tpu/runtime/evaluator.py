@@ -89,6 +89,11 @@ class Evaluator:
             raise FileNotFoundError("no checkpoint")
         step = step if step is not None else self.ckpt.latest_step()
 
+        if not hasattr(self.dataset, "couples"):
+            # single-frame detection dataset (reference evaluator.py):
+            # detection AP only, no tracking axis
+            return self._run_detection_only(params, step)
+
         pred_dir = os.path.join(self.output_dir,
                                 f"predictions_{step}", "data")
         os.makedirs(pred_dir, exist_ok=True)
@@ -176,6 +181,65 @@ class Evaluator:
         results = {"step": int(step), "ap": ap,
                    "ap_per_class": ap_per_class,
                    "ap_05_per_class": ap_05_per_class, "mot": mot}
+        with open(os.path.join(self.output_dir,
+                               f"results_{step}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        self._evaluated.add(int(step))
+        return results
+
+    def _run_detection_only(self, params, step) -> Dict:
+        """Single-frame evaluation over KittiDataset samples (the
+        reference's original AVOD evaluator loop, evaluator.py):
+        per-sample KITTI txt + official-protocol AP, no MOT."""
+        from dodt_tpu.data import kitti as kitti_io
+
+        pred_dir = os.path.join(self.output_dir,
+                                f"predictions_{step}", "data")
+        os.makedirs(pred_dir, exist_ok=True)
+        thr = self.cfg.eval.kitti_score_threshold
+        gts: List[kitti_ap.FrameGt] = []
+        det_frames: List[kitti_ap.FrameDet] = []
+
+        for idx, name in enumerate(self.dataset.sample_names):
+            sample = self.dataset.load_sample(idx, augs=())
+            batch = {k: jnp.asarray(v)[None] for k, v in sample.items()
+                     if isinstance(v, np.ndarray)}
+            out = self._apply({"params": params}, batch, train=False,
+                              mode="val")
+            dets = decode_lib.outputs_to_detections(
+                np.array(out["final_boxes_3d"][0, 0]),
+                np.array(out["final_orientations"][0, 0]),
+                np.array(out["final_scores"][0, 0]),
+                np.array(out["final_cls_softmax"][0, 0]),
+                np.array(out["final_valid"][0, 0]),
+                score_threshold=thr)
+            calib = kitti_io.read_calibration(self.dataset.calib_dir,
+                                              name)
+            img_size = (int(sample["orig_image_shape"][1]),
+                        int(sample["orig_image_shape"][0]))
+            raw = kitti_io.read_labels(self.dataset.label_dir, name,
+                                       keep_dontcare=True)
+            dc_mask = np.array([t == "DontCare" for t in raw.types],
+                               bool)
+            gts.append(kitti_ap.FrameGt.from_labels(
+                raw.select(~dc_mask), dontcare=raw.bbox_2d[dc_mask]))
+            det_frames.append(self._frame_det(dets, calib, img_size))
+            kitti_writer.write_kitti_file(
+                os.path.join(pred_dir, f"{name}.txt"),
+                self._kitti_lines(dets, calib, img_size))
+
+        ap_per_class = {}
+        for cls_name in self.cfg.dataset.classes:
+            min_iou = 0.7 if cls_name == "Car" else 0.5
+            ap_per_class[cls_name] = {
+                metric_name: kitti_ap.evaluate_ap(
+                    gts, det_frames, cls_name, metric, min_iou)
+                for metric, metric_name in (("image", "AP_2D"),
+                                            ("ground", "AP_BEV"),
+                                            ("3d", "AP_3D"))}
+        results = {"step": int(step),
+                   "ap": ap_per_class[self.cfg.dataset.classes[0]],
+                   "ap_per_class": ap_per_class}
         with open(os.path.join(self.output_dir,
                                f"results_{step}.json"), "w") as f:
             json.dump(results, f, indent=2)

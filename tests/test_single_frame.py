@@ -58,3 +58,27 @@ def test_single_frame_loss(setup):
     total, losses = run(variables, batch, rng)
     assert np.isfinite(float(total))
     assert float(losses["corr"]) == 0.0  # no corr loss without a pair
+
+
+def test_single_frame_evaluator(setup, tmp_path):
+    """The Evaluator's single-frame branch (reference evaluator.py):
+    per-sample KITTI txt + official-protocol AP, no tracking axis."""
+    import os
+    from dodt_tpu.runtime.trainer import CheckpointIO, create_train_state
+    from dodt_tpu.runtime.evaluator import Evaluator
+    from dodt_tpu.data import detection
+
+    cfg, model, batch, variables = setup
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    ck = CheckpointIO(str(tmp_path / "ckpt"))
+    ck.save(1, state._replace(step=np.int32(1)))
+
+    ds = detection.KittiDataset(cfg.dataset, split="train")
+    ev = Evaluator(cfg, model, ds, ckpt_dir=str(tmp_path / "ckpt"),
+                   output_dir=str(tmp_path / "eval"))
+    results = ev.run_checkpoint_once(1)
+    assert set(results["ap"].keys()) == {"AP_2D", "AP_BEV", "AP_3D"}
+    assert "mot" not in results
+    pred_dir = str(tmp_path / "eval" / "predictions_1" / "data")
+    assert sorted(os.listdir(pred_dir)) == \
+        sorted(f"{n}.txt" for n in ds.sample_names)
