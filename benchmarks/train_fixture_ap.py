@@ -4,7 +4,7 @@ synthetic fixture and record AP_3D/AP_BEV/MOT per checkpoint.
 The fixture is fully learnable (box-surface lidar points, known
 motion), so a working detector must drive AP from ~0 to high values
 within a few hundred steps — this is the detection-quality smoke signal
-VERDICT round 1 asked for. Results land in results_r02/fixture_ap.json.
+VERDICT round 1 asked for. Results land in results_r03/fixture_ap.json.
 
 Run: python benchmarks/train_fixture_ap.py [steps]
 """
@@ -78,8 +78,8 @@ for mode in ("fast", "greedy"):
                     for k in ("AP_3D", "AP_BEV", "AP_2D")}
     print("nms", mode, nms_ab[mode])
 
-os.makedirs("results_r02", exist_ok=True)
-with open("results_r02/fixture_ap.json", "w") as f:
+os.makedirs("results_r03", exist_ok=True)
+with open("results_r03/fixture_ap.json", "w") as f:
     json.dump({"loss_history": history, "ap_trajectory": trajectory,
                "nms_ab_moderate": nms_ab}, f, indent=2)
-print("wrote results_r02/fixture_ap.json")
+print("wrote results_r03/fixture_ap.json")

@@ -5,7 +5,7 @@ configuration (DODT tau=3 S+T+M, README.md:96-106) — and score
 detection AP on keyframes plus MOT over ALL frames (keyframes +
 interpolated).
 
-Results land in results_r02/fixture_tau3_ap.json.
+Results land in results_r03/fixture_tau3_ap.json.
 Run: python benchmarks/train_fixture_tau3.py [steps]
 """
 import json
@@ -65,10 +65,10 @@ for step in trainer.ckpt.all_steps():
     trajectory.append(row)
     print(row)
 
-os.makedirs("results_r02", exist_ok=True)
-with open("results_r02/fixture_tau3_ap.json", "w") as f:
+os.makedirs("results_r03", exist_ok=True)
+with open("results_r03/fixture_tau3_ap.json", "w") as f:
     json.dump({"loss_history": history, "ap_trajectory": trajectory,
                "mode": "tau=3 S+T+M: stride-3 couples, MoI fills 2 "
                        "non-keyframes per couple, MOT scored over all "
                        "frames"}, f, indent=2)
-print("wrote results_r02/fixture_tau3_ap.json")
+print("wrote results_r03/fixture_tau3_ap.json")

@@ -2,7 +2,7 @@
 baseline row): train DtAvodNet(num_frames=1) on the detection fixture
 and record AP through the official-protocol evaluator.
 
-Results land in results_r02/single_frame_ap.json.
+Results land in results_r03/single_frame_ap.json.
 Run: python benchmarks/train_single_frame_ap.py [steps]
 """
 import json
@@ -57,8 +57,8 @@ for step in trainer.ckpt.all_steps():
     trajectory.append(row)
     print(row)
 
-os.makedirs("results_r02", exist_ok=True)
-with open("results_r02/single_frame_ap.json", "w") as f:
+os.makedirs("results_r03", exist_ok=True)
+with open("results_r03/single_frame_ap.json", "w") as f:
     json.dump({"loss_history": history, "ap_trajectory": trajectory},
               f, indent=2)
-print("wrote results_r02/single_frame_ap.json")
+print("wrote results_r03/single_frame_ap.json")

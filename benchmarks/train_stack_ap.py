@@ -2,7 +2,7 @@
 StackAvodNet on stride-2 stacks and record AP/MOT through the generic
 Evaluator's stack branch (first/last-frame detections).
 
-Results land in results_r02/stack_ap.json.
+Results land in results_r03/stack_ap.json.
 Run: python benchmarks/train_stack_ap.py [steps]
 """
 import json
@@ -62,8 +62,8 @@ for step in trainer.ckpt.all_steps():
     trajectory.append(row)
     print(row)
 
-os.makedirs("results_r02", exist_ok=True)
-with open("results_r02/stack_ap.json", "w") as f:
+os.makedirs("results_r03", exist_ok=True)
+with open("results_r03/stack_ap.json", "w") as f:
     json.dump({"loss_history": history, "ap_trajectory": trajectory},
               f, indent=2)
-print("wrote results_r02/stack_ap.json")
+print("wrote results_r03/stack_ap.json")

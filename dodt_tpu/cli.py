@@ -71,13 +71,14 @@ def cmd_evaluate(args):
     cfg, ds, model = _build(args.config, args.split)
     ev = Evaluator(cfg, model, ds, args.ckpt_dir, args.output_dir)
     # MoI stride evaluation (reference DtEvaluatorStride): fill the
-    # tau-1 non-keyframes per couple at save time
-    interp = args.interpolate or cfg.dataset.data_stride > 1
+    # tau-1 non-keyframes per couple at save time. Setting it on the
+    # Evaluator keeps the one-shot and --repeat polling paths under
+    # the same protocol.
+    ev.interpolate = args.interpolate or cfg.dataset.data_stride > 1
     if args.repeat:
         results = ev.repeated_checkpoint_run()
     else:
-        results = [ev.run_checkpoint_once(args.step,
-                                          interpolate=interp)]
+        results = [ev.run_checkpoint_once(args.step)]
     print(json.dumps(results[-1], indent=2, default=float))
 
 

@@ -218,6 +218,15 @@ class EvalConfig:
     evaluate_repeatedly: bool = True
     eval_wait_interval: int = 30
     kitti_score_threshold: float = 0.1
+    # val couples per device dispatch (the reference loops a batch-1
+    # feed_dict, dt_evaluator.py:233-365; batching the val loop is
+    # nearly-free eval throughput on TPU — the last chunk is padded to
+    # keep the jit shape static)
+    batch_size: int = 1
+    # emit per-checkpoint val losses + RPN proposal recall (reference
+    # save_proposal_losses_results, dt_evaluator.py:764-810); costs one
+    # extra train-mode jit + one val pass per checkpoint
+    val_health: bool = False
     # tracker thresholds (eval.proto:17-20)
     track_lth: float = 0.5
     track_hth: float = 0.85
@@ -293,6 +302,28 @@ def cars_single_frame() -> PipelineConfig:
     cfg = PipelineConfig()
     cfg.model.model_name = "avod_model"
     cfg.dataset.name = "kitti"
+    return cfg
+
+
+# The single-frame detector's parameter subtrees (everything except the
+# correlation branch, which only exists in the paired model).
+DETECTOR_SUBTREES = ("bev_vgg_pyr", "img_vgg_pyr", "bev_bottleneck",
+                     "img_bottleneck", "rpn_cls", "rpn_reg", "avod_fc")
+
+
+def cars_dt_tracking_staged(pretrained_dir: str,
+                            data_stride: int = 1) -> PipelineConfig:
+    """Stage-2 of the reference's staged training flow
+    (trainer.py:64-183): restore the detector subtrees (towers + RPN +
+    second-stage head) from a `cars_single_frame` pretrain checkpoint,
+    freeze them, and train only the correlation branch
+    (bev_corr_bottleneck + corr_fc). The reference encodes the same
+    split as brittle trainable-variable index slices ([:68]+[70:94]
+    restored & frozen, [68:70]+[94:] trained)."""
+    cfg = cars_dt_tracking(data_stride)
+    cfg.train.pretrained_checkpoint = pretrained_dir
+    cfg.train.pretrained_subtrees = DETECTOR_SUBTREES
+    cfg.train.frozen_subtrees = DETECTOR_SUBTREES
     return cfg
 
 

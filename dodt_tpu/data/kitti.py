@@ -360,25 +360,60 @@ def ego_bev_affine(calib: "FrameCalib", trans, matrix):
     return a2, b2
 
 
-def transform_labels_to_prev_frame(labels: LabelArray, calib: FrameCalib,
-                                   trans, matrix, delta_yaw) -> LabelArray:
-    """Move frame-B labels into frame-A coordinates via 8-corner rotation
-    in velo space (reference label_transform:338-371). Pure numpy — the
-    host data path must never dispatch JAX ops."""
+def is_identity_ego(trans, matrix, delta_yaw,
+                    tol: float = 1e-9) -> bool:
+    """True when the ego transform is numerically a no-op (stationary
+    platform). Callers skip the corner round-trip entirely so that
+    zero-ego outputs stay bit-identical to the untransformed path."""
+    return (float(np.abs(trans).max()) < tol and
+            abs(float(delta_yaw)) < tol and
+            float(np.abs(matrix - np.eye(3)).max()) < tol)
+
+
+def transform_boxes_3d(boxes_3d: np.ndarray, calib: FrameCalib,
+                       trans, matrix, delta_yaw,
+                       inverse: bool = False) -> np.ndarray:
+    """Move (N, 7) box_3d arrays between ego frames via 8-corner
+    rotation in velo space (reference label_transform:338-371 /
+    label_inverse_transform + recovery_t:372-398).
+
+    Forward (`inverse=False`): frame-B own coords -> frame-A coords,
+    with (trans, matrix, delta_yaw) = ego_motion(oxts_A, oxts_B).
+    Inverse: frame-A coords -> frame-B own coords (the reference's
+    `recovery_coordinate` step, evaluator_utils.py:401).
+    Pure numpy — the host data path must never dispatch JAX ops."""
     from dodt_tpu.utils.np_iou import box_3d_corners
 
+    boxes_3d = np.asarray(boxes_3d, np.float64)
+    if len(boxes_3d) == 0 or is_identity_ego(trans, matrix, delta_yaw):
+        return boxes_3d.copy()
+    out = boxes_3d.copy()
+    inv = np.linalg.inv(matrix) if inverse else None
+    for i in range(len(out)):
+        c = box_3d_corners(boxes_3d[i])          # (8, 3) cam frame
+        c_velo = calib.rect_to_velo(c)
+        if inverse:
+            c_velo = c_velo @ inv - trans
+        else:
+            c_velo = (c_velo + trans) @ matrix
+        c_cam = calib.velo_to_rect(c_velo)
+        new_t = c_cam.mean(axis=0)
+        new_t[1] += out[i, 5] / 2.0              # centroid -> bottom face
+        out[i, 0:3] = new_t
+        out[i, 6] += -delta_yaw if inverse else delta_yaw
+    return out
+
+
+def transform_labels_to_prev_frame(labels: LabelArray, calib: FrameCalib,
+                                   trans, matrix, delta_yaw) -> LabelArray:
+    """Move frame-B labels into frame-A coordinates (reference
+    label_transform:338-371)."""
     if len(labels) == 0:
         return labels
     out = labels.select(np.ones(len(labels), bool))
-    for i in range(len(out)):
-        c = box_3d_corners(labels.box_3d[i])     # (8, 3) cam frame
-        c_velo = calib.rect_to_velo(c)
-        c_velo = (c_velo + trans) @ matrix
-        c_cam = calib.velo_to_rect(c_velo)
-        new_t = c_cam.mean(axis=0)
-        new_t[1] += out.box_3d[i, 5] / 2.0       # centroid -> bottom face
-        out.box_3d[i, 0:3] = new_t
-        out.box_3d[i, 6] += delta_yaw
+    out.box_3d = transform_boxes_3d(
+        labels.box_3d, calib, trans, matrix, delta_yaw).astype(
+        labels.box_3d.dtype)
     return out
 
 
@@ -386,19 +421,10 @@ def inverse_transform_labels(labels: LabelArray, calib: FrameCalib,
                              trans, matrix, delta_yaw) -> LabelArray:
     """Inverse of transform_labels_to_prev_frame (reference
     label_inverse_transform / recovery_t:372-398)."""
-    from dodt_tpu.utils.np_iou import box_3d_corners
-
     if len(labels) == 0:
         return labels
     out = labels.select(np.ones(len(labels), bool))
-    inv = np.linalg.inv(matrix)
-    for i in range(len(out)):
-        c = box_3d_corners(labels.box_3d[i])
-        c_velo = calib.rect_to_velo(c)
-        c_velo = c_velo @ inv - trans
-        c_cam = calib.velo_to_rect(c_velo)
-        new_t = c_cam.mean(axis=0)
-        new_t[1] += out.box_3d[i, 5] / 2.0
-        out.box_3d[i, 0:3] = new_t
-        out.box_3d[i, 6] -= delta_yaw
+    out.box_3d = transform_boxes_3d(
+        labels.box_3d, calib, trans, matrix, delta_yaw,
+        inverse=True).astype(labels.box_3d.dtype)
     return out

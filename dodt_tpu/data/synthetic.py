@@ -88,7 +88,17 @@ class SyntheticScene:
                  num_cars: int = 4, seed: int = 0,
                  ego_speed: float = 0.0, points_per_car: int = 384,
                  ground_points: int = 3000,
-                 object_classes=("Car",)):
+                 object_classes=("Car",),
+                 keep_in_view: bool = True,
+                 z_range=(7.0, 60.0), fov_frac: float = 0.75):
+        """With `keep_in_view` (default), object trajectories are
+        resampled until every frame's camera-coordinate position stays
+        inside z_range and |x| <= fov_frac * z — i.e. every GT is
+        detectable (lidar survives the image-FOV filter, the box is in
+        the BEV area) and the official 11-point AP ceiling is 100
+        rather than the 9/11 = 81.82 an out-of-view GT imposes.
+        `keep_in_view=False` restores unconstrained placement (used by
+        the border/offset tests that NEED objects leaving the area)."""
         self.points_per_car = points_per_car
         self.ground_points = ground_points
         rng = np.random.RandomState(seed * 100 + video_id)
@@ -99,10 +109,23 @@ class SyntheticScene:
         for cid in range(num_cars):
             cls = object_classes[cid % len(object_classes)]
             spec = _CLASS_SPECS[cls]
-            x0 = rng.uniform(-8, 8)
-            z0 = rng.uniform(8, 40)
-            vx = rng.uniform(-0.4, 0.4) * spec["speed"]
-            vz = rng.uniform(-0.8, 0.8) * spec["speed"]
+            for _attempt in range(200):
+                x0 = rng.uniform(-8, 8)
+                z0 = rng.uniform(8, 40)
+                vx = rng.uniform(-0.4, 0.4) * spec["speed"]
+                vz = rng.uniform(-0.8, 0.8) * spec["speed"]
+                if not keep_in_view:
+                    break
+                f = np.arange(num_frames)
+                x = x0 + vx * f
+                z = z0 + vz * f - ego_speed * f
+                if (z >= z_range[0]).all() and (z <= z_range[1]).all() \
+                        and (np.abs(x) <= fov_frac * z).all():
+                    break
+            else:
+                raise ValueError(
+                    "could not place an in-view trajectory; reduce "
+                    "ego_speed * num_frames or widen z_range")
             ry = rng.uniform(-np.pi, np.pi)
             dims = (rng.uniform(*spec["l"]), rng.uniform(*spec["w"]),
                     rng.uniform(*spec["h"]))
@@ -196,7 +219,9 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
                            num_cars: int = 4,
                            points_per_car: int = 384,
                            ground_points: int = 3000,
-                           object_classes=("Car",)) -> str:
+                           object_classes=("Car",),
+                           keep_in_view: bool = True,
+                           z_range=(7.0, 60.0)) -> str:
     """Write a synthetic KITTI tracking dataset under `root`.
 
     Layout: root/training/{velodyne,image_02,calib,label_02,oxts,planes}
@@ -213,7 +238,9 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
                                seed=seed, ego_speed=ego_speed,
                                points_per_car=points_per_car,
                                ground_points=ground_points,
-                               object_classes=object_classes)
+                               object_classes=object_classes,
+                               keep_in_view=keep_in_view,
+                               z_range=z_range)
         scenes.append(scene)
         vdir = os.path.join(base, "velodyne", f"{vid:04d}")
         idir = os.path.join(base, "image_02", f"{vid:04d}")

@@ -27,16 +27,27 @@ def top_checkpoints(results: List[Dict], metric: str = "AP_3D",
 
 
 def format_table(results: List[Dict]) -> str:
-    lines = ["step    AP_3D(E/M/H)          AP_BEV(M)  AP_2D(M)  MOTA"]
+    has_health = any("val_health" in r for r in results)
+    hdr = "step    AP_3D(E/M/H)          AP_BEV(M)  AP_2D(M)  MOTA"
+    if has_health:
+        hdr += "    val_loss  recall@0.5"
+    lines = [hdr]
     for r in results:
         ap3 = r["ap"]["AP_3D"]
         apb = r["ap"]["AP_BEV"]["moderate"]
         ap2 = r["ap"]["AP_2D"]["moderate"]
         mota = r.get("mot", {}).get("overall", {}).get("MOTA", float("nan"))
-        lines.append(
+        row = (
             f"{r['step']:<7} {ap3['easy']:5.2f}/{ap3['moderate']:5.2f}/"
             f"{ap3['hard']:5.2f}      {apb:6.2f}    {ap2:6.2f}   "
             f"{mota:6.2f}")
+        if has_health:
+            vh = r.get("val_health", {})
+            vl = vh.get("val_losses", {}).get("total", float("nan"))
+            rec = vh.get("proposal_recall", {}).get("iou_0.5",
+                                                    float("nan"))
+            row += f"   {vl:7.3f}   {rec:9.3f}"
+        lines.append(row)
     return "\n".join(lines)
 
 

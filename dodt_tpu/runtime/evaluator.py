@@ -39,6 +39,12 @@ class Evaluator:
         self._apply = jax.jit(model.apply,
                               static_argnames=("train", "mode"))
         self._evaluated: set = set()
+        self._oxts_cache: Dict = {}
+        self._val_health_jit = None
+        # MoI stride evaluation default (reference DtEvaluatorStride):
+        # both the one-shot and the --repeat polling path evaluate
+        # under the same protocol
+        self.interpolate = cfg.dataset.data_stride > 1
         # best-effort build of the native AP evaluator (falls back to
         # the Python implementation when no toolchain is present)
         from dodt_tpu import native
@@ -46,42 +52,150 @@ class Evaluator:
 
     # ---------------------------------------------------------- core
 
-    def predict_couple(self, params, idx: int) -> Dict:
-        """Run the model on one val couple (or N-frame stack); return
-        detection dicts for the FIRST and LAST frame in frame-0
-        coordinates (the detection/tracking contract downstream — the
-        reference StackEvaluator likewise scores the keyframe and uses
-        the far frame for offsets/MoI)."""
+    def _load(self, idx: int) -> dict:
         if hasattr(self.dataset, "load_stack"):
-            sample = self.dataset.load_stack(idx, augs=())
-        else:
-            sample = self.dataset.load_couple(idx, augs=())
-        batch = {k: jnp.asarray(v)[None] for k, v in sample.items()
-                 if isinstance(v, np.ndarray)}
+            return self.dataset.load_stack(idx, augs=())
+        return self.dataset.load_couple(idx, augs=())
+
+    def predict_couples(self, params, idxs: List[int]) -> List[Dict]:
+        """Run the model on a BATCH of val couples (or N-frame stacks)
+        through one jit dispatch; per couple, return detection dicts
+        for the FIRST and LAST frame in frame-0 coordinates (the
+        detection/tracking contract downstream — the reference
+        StackEvaluator likewise scores the keyframe and uses the far
+        frame for offsets/MoI).
+
+        The reference evaluator loops a batch-1 feed_dict
+        (dt_evaluator.py:233-365); batching the val loop is the TPU
+        redesign (SURVEY §2.13 "on-device batching replacing batch-1").
+        The batch is padded to cfg.eval.batch_size by repeating the
+        last sample so the jit shape stays static; padded outputs are
+        dropped."""
+        bsz = max(self.cfg.eval.batch_size, 1)
+        samples = [self._load(i) for i in idxs]
+        padded = samples + [samples[-1]] * (bsz - len(samples)) \
+            if len(samples) < bsz else samples
+        batch = {k: jnp.asarray(np.stack([s[k] for s in padded]))
+                 for k in padded[0]
+                 if isinstance(padded[0][k], np.ndarray)}
         out = self._apply({"params": params}, batch, train=False,
                           mode="val")
+        out = jax.device_get(out)
         thr = self.cfg.eval.kitti_score_threshold
         n_frames = out["final_boxes_3d"].shape[1]
-        dets = []
-        for f in (0, n_frames - 1):
-            corr = (np.array(out["final_corr_offsets"][0])
-                    if f == 0 and "final_corr_offsets" in out else None)
-            dets.append(decode_lib.outputs_to_detections(
-                np.array(out["final_boxes_3d"][0, f]),
-                np.array(out["final_orientations"][0, f]),
-                np.array(out["final_scores"][0, f]),
-                np.array(out["final_cls_softmax"][0, f]),
-                np.array(out["final_valid"][0, f]),
-                corr_offsets=corr,
-                score_threshold=thr))
-        return {"sample": sample, "dets": dets,
-                "couple": self.dataset.couples[idx]}
+        results = []
+        for b, (idx, sample) in enumerate(zip(idxs, samples)):
+            dets = []
+            for f in (0, n_frames - 1):
+                corr = (np.array(out["final_corr_offsets"][b])
+                        if f == 0 and "final_corr_offsets" in out
+                        else None)
+                dets.append(decode_lib.outputs_to_detections(
+                    np.array(out["final_boxes_3d"][b, f]),
+                    np.array(out["final_orientations"][b, f]),
+                    np.array(out["final_scores"][b, f]),
+                    np.array(out["final_cls_softmax"][b, f]),
+                    np.array(out["final_valid"][b, f]),
+                    corr_offsets=corr,
+                    score_threshold=thr))
+            results.append({"sample": sample, "dets": dets,
+                            "couple": self.dataset.couples[idx]})
+        return results
+
+    def predict_couple(self, params, idx: int) -> Dict:
+        """Single-couple convenience wrapper (streaming/infer paths).
+        Uses the configured eval batch size (padding as needed)."""
+        return self.predict_couples(params, [idx])[0]
+
+    # --------------------------------------------- val health metrics
+
+    def _val_health_apply(self):
+        """Jitted val-split loss + proposal pass (reference
+        save_proposal_losses_results / save_prediction_losses_results,
+        dt_evaluator.py:764-810): train-mode heads without dropout or
+        gradients, so mid-training detector health (val losses, RPN
+        proposal recall) is visible per checkpoint."""
+        if self._val_health_jit is None:
+            from dodt_tpu.models import dt_avod as dt_avod_mod
+            loss_builder = (self.model.loss_builder()
+                            if hasattr(self.model, "loss_builder")
+                            else dt_avod_mod.compute_losses)
+
+            def fn(params, batch, rng):
+                rngs = {"dropout": rng, "pathdrop": rng,
+                        "sampling": rng}
+                out = self.model.apply({"params": params}, batch,
+                                       train=False, mode="train",
+                                       rngs=rngs)
+                total, losses = loss_builder(self.cfg, out, batch, rng)
+                losses = dict(losses)
+                losses["total"] = total
+                return losses, out["top_anchors"], out["top_valid"]
+
+            self._val_health_jit = jax.jit(fn)
+        return self._val_health_jit
+
+    def val_health(self, params, max_couples: Optional[int] = None
+                   ) -> Dict:
+        """Per-checkpoint val losses + RPN proposal recall (BEV rotated
+        IoU of top proposals vs GT at 0.3/0.5)."""
+        from dodt_tpu.ops import boxes as box_ops
+        from dodt_tpu.utils.np_iou import rotated_iou
+
+        fn = self._val_health_apply()
+        rng = jax.random.PRNGKey(0)
+        bsz = max(self.cfg.eval.batch_size, 1)
+        n = len(self.dataset.couples)
+        if max_couples is not None:
+            n = min(n, max_couples)
+        loss_sums: Dict[str, float] = defaultdict(float)
+        hits = {0.3: 0, 0.5: 0}
+        total_gt = 0
+        for start in range(0, n, bsz):
+            idxs = list(range(start, min(start + bsz, n)))
+            samples = [self._load(i) for i in idxs]
+            padded = samples + [samples[-1]] * (bsz - len(samples))
+            batch = {k: jnp.asarray(np.stack([s[k] for s in padded]))
+                     for k in padded[0]
+                     if isinstance(padded[0][k], np.ndarray)}
+            losses, top_anchors, top_valid = jax.device_get(
+                fn(params, batch, rng))
+            for k, v in losses.items():
+                # chunk loss is a batch mean (padding duplicates the
+                # last sample; the small skew only affects the final
+                # partial chunk)
+                loss_sums[k] += float(v) * len(idxs)
+            props_all = np.asarray(box_ops.anchors_to_box_3d(
+                jnp.asarray(top_anchors), fix_lw=True))
+            for b, sample in enumerate(samples):
+                props = props_all[b, 0][np.asarray(top_valid)[b, 0]]
+                gt = sample["gt_boxes"][0][sample["gt_valid"][0]]
+                for g in gt:
+                    total_gt += 1
+                    if not len(props):
+                        continue
+                    g5 = np.array([g[0], g[2], g[3], g[4], g[6]])
+                    p5 = props[:, [0, 2, 3, 4, 6]]
+                    best = float(rotated_iou(g5, p5).max())
+                    for thr in hits:
+                        hits[thr] += best > thr
+        return {
+            "val_losses": {k: v / max(n, 1)
+                           for k, v in loss_sums.items()},
+            "proposal_recall": {f"iou_{t}": hits[t] / max(total_gt, 1)
+                                for t in sorted(hits)},
+            "num_couples": n, "num_gt": total_gt,
+        }
 
     def run_checkpoint_once(self, step: Optional[int] = None,
-                            interpolate: bool = False) -> Dict:
-        """Evaluate one checkpoint. With `interpolate=True` and a data
-        stride tau > 1, MoI fills the tau-1 non-keyframes per couple and
-        writes per-frame files (reference DtEvaluatorStride)."""
+                            interpolate: Optional[bool] = None) -> Dict:
+        """Evaluate one checkpoint. With interpolation (default: on
+        whenever data_stride > 1, overridable per call or via
+        `self.interpolate`) MoI fills the tau-1 non-keyframes per
+        couple and writes per-frame files (reference
+        DtEvaluatorStride)."""
+        if interpolate is None:
+            interpolate = self.interpolate
         params = self.ckpt.restore_params(
             step,
             prefer_ema=self.cfg.train.optimizer.use_moving_average)
@@ -104,18 +218,32 @@ class Evaluator:
         gts: List[kitti_ap.FrameGt] = []
         det_frames: List[kitti_ap.FrameDet] = []
 
-        for idx in range(len(self.dataset.couples)):
+        n = len(self.dataset.couples)
+        bsz = max(self.cfg.eval.batch_size, 1)
+
+        def chunks():
+            for start in range(0, n, bsz):
+                idxs = list(range(start, min(start + bsz, n)))
+                yield from zip(idxs,
+                               self.predict_couples(params, idxs))
+
+        for idx, res in chunks():
             cp = self.dataset.couples[idx]
-            res = self.predict_couple(params, idx)
             dets0 = res["dets"][0]
             calib = self.dataset.calib(cp.video_id)
             img_size = (int(res["sample"]["orig_image_shape"][1]),
                         int(res["sample"]["orig_image_shape"][0]))
+            tau = cp.frame_b - cp.frame_a
+            for d in dets0:
+                # predicted corr offsets span the couple's frame gap
+                d["offsets_span"] = tau
 
             # ---- detection AP bookkeeping (frame 0 only, like
             # dt_evaluator.py:296-300)
-            labels = self.dataset.labels(cp.video_id, cp.frame_a)
-            gts.append(kitti_ap.FrameGt.from_labels(labels))
+            raw0 = self.dataset.raw_labels(cp.video_id, cp.frame_a)
+            dc0 = np.array([t == "DontCare" for t in raw0.types], bool)
+            gts.append(kitti_ap.FrameGt.from_labels(
+                raw0.select(~dc0), dontcare=raw0.bbox_2d[dc0]))
             det_frames.append(self._frame_det(dets0, calib, img_size))
 
             # ---- KITTI txt files
@@ -128,22 +256,46 @@ class Evaluator:
             video_dets[cp.video_id][cp.frame_a] = dets0
             video_img_size[cp.video_id] = img_size
 
-            # ---- MoI: synthesize the tau-1 intermediate frames
+            # ---- far keyframe: the model emits frame-B boxes in
+            # frame-A coordinates; recover them into frame-B's own
+            # coordinates (reference recovery_coordinate,
+            # evaluator_utils.py:401 via the num==2 branch of
+            # interpolate_non_keyframe_predicitons:424) and store.
+            # The next couple's own frame-A detections overwrite this
+            # entry / file when present — this matters only for the
+            # final keyframe of each video, which no couple covers as
+            # frame A.
+            if cp.frame_b > cp.frame_a:
+                dets_b = self._recover_dets(
+                    res["dets"][1], calib, cp.video_id, cp.frame_a,
+                    cp.frame_b)
+                kitti_writer.write_kitti_file(
+                    os.path.join(
+                        pred_dir,
+                        f"{cp.video_id:02d}{cp.frame_b:04d}.txt"),
+                    self._kitti_lines(dets_b, calib, img_size))
+                video_dets[cp.video_id][cp.frame_b] = dets_b
+
+            # ---- MoI: synthesize the tau-1 intermediate frames, then
+            # recover each from frame-A coordinates into its own frame
+            # (reference recovery loop, evaluator_utils.py:502-506)
             if interpolate and cp.frame_b > cp.frame_a + 1:
-                tau = cp.frame_b - cp.frame_a
                 frames = moi.interpolate_non_keyframes(
                     dets0, res["dets"][1], tau + 1,
                     self.cfg.eval.kitti_score_threshold)
                 for off in range(1, tau):
                     frame_no = cp.frame_a + off
-                    lines = self._kitti_lines(frames[off], calib,
+                    recovered = self._recover_dets(
+                        frames[off], calib, cp.video_id, cp.frame_a,
+                        frame_no)
+                    lines = self._kitti_lines(recovered, calib,
                                               img_size)
                     kitti_writer.write_kitti_file(
                         os.path.join(
                             pred_dir,
                             f"{cp.video_id:02d}{frame_no:04d}.txt"),
                         lines)
-                    video_dets[cp.video_id][frame_no] = frames[off]
+                    video_dets[cp.video_id][frame_no] = recovered
 
         # ---- AP, per class (Car scored at min IoU 0.7, others at 0.5,
         # matching the official evaluator's CLASS_NAMES/MIN_OVERLAP)
@@ -181,6 +333,11 @@ class Evaluator:
         results = {"step": int(step), "ap": ap,
                    "ap_per_class": ap_per_class,
                    "ap_05_per_class": ap_05_per_class, "mot": mot}
+
+        # ---- val health: per-checkpoint val losses + proposal recall
+        # (reference dt_evaluator.py:764-810)
+        if self.cfg.eval.val_health:
+            results["val_health"] = self.val_health(params)
         with open(os.path.join(self.output_dir,
                                f"results_{step}.json"), "w") as f:
             json.dump(results, f, indent=2)
@@ -200,19 +357,30 @@ class Evaluator:
         gts: List[kitti_ap.FrameGt] = []
         det_frames: List[kitti_ap.FrameDet] = []
 
-        for idx, name in enumerate(self.dataset.sample_names):
-            sample = self.dataset.load_sample(idx, augs=())
-            batch = {k: jnp.asarray(v)[None] for k, v in sample.items()
-                     if isinstance(v, np.ndarray)}
-            out = self._apply({"params": params}, batch, train=False,
-                              mode="val")
-            dets = decode_lib.outputs_to_detections(
-                np.array(out["final_boxes_3d"][0, 0]),
-                np.array(out["final_orientations"][0, 0]),
-                np.array(out["final_scores"][0, 0]),
-                np.array(out["final_cls_softmax"][0, 0]),
-                np.array(out["final_valid"][0, 0]),
-                score_threshold=thr)
+        names = list(self.dataset.sample_names)
+        bsz = max(self.cfg.eval.batch_size, 1)
+
+        def batched_dets():
+            for start in range(0, len(names), bsz):
+                idxs = range(start, min(start + bsz, len(names)))
+                samples = [self.dataset.load_sample(i, augs=())
+                           for i in idxs]
+                padded = samples + [samples[-1]] * (bsz - len(samples))
+                batch = {k: jnp.asarray(np.stack([s[k] for s in padded]))
+                         for k in padded[0]
+                         if isinstance(padded[0][k], np.ndarray)}
+                out = jax.device_get(self._apply(
+                    {"params": params}, batch, train=False, mode="val"))
+                for b, sample in enumerate(samples):
+                    yield sample, decode_lib.outputs_to_detections(
+                        np.array(out["final_boxes_3d"][b, 0]),
+                        np.array(out["final_orientations"][b, 0]),
+                        np.array(out["final_scores"][b, 0]),
+                        np.array(out["final_cls_softmax"][b, 0]),
+                        np.array(out["final_valid"][b, 0]),
+                        score_threshold=thr)
+
+        for name, (sample, dets) in zip(names, batched_dets()):
             calib = kitti_io.read_calibration(self.dataset.calib_dir,
                                               name)
             img_size = (int(sample["orig_image_shape"][1]),
@@ -237,14 +405,100 @@ class Evaluator:
                 for metric, metric_name in (("image", "AP_2D"),
                                             ("ground", "AP_BEV"),
                                             ("3d", "AP_3D"))}
+        # 0.5-IoU second pass (reference all_eval.sh runs both the 0.7
+        # and 05_iou binaries for single-frame evaluation too);
+        # non-Car classes already scored at 0.5 in the first pass
+        ap_05_per_class = {}
+        for cls_name in self.cfg.dataset.classes:
+            if cls_name != "Car":
+                ap_05_per_class[cls_name] = ap_per_class[cls_name]
+                continue
+            ap_05_per_class[cls_name] = {
+                metric_name: kitti_ap.evaluate_ap(
+                    gts, det_frames, cls_name, metric, 0.5)
+                for metric, metric_name in (("image", "AP_2D"),
+                                            ("ground", "AP_BEV"),
+                                            ("3d", "AP_3D"))}
         results = {"step": int(step),
                    "ap": ap_per_class[self.cfg.dataset.classes[0]],
-                   "ap_per_class": ap_per_class}
+                   "ap_per_class": ap_per_class,
+                   "ap_05_per_class": ap_05_per_class}
         with open(os.path.join(self.output_dir,
                                f"results_{step}.json"), "w") as f:
             json.dump(results, f, indent=2)
         self._evaluated.add(int(step))
         return results
+
+    # ------------------------------------------- ego-motion recovery
+
+    def _oxts(self, video_id: int, frame: int):
+        key = (video_id, frame)
+        if key not in self._oxts_cache:
+            try:
+                self._oxts_cache[key] = kitti.read_oxts(
+                    self.dataset.oxts_dir, video_id, frame)
+            except (OSError, IndexError, ValueError):
+                self._oxts_cache[key] = None   # no pose: zero ego
+        return self._oxts_cache[key]
+
+    def _ego(self, video_id: int, frame_from: int, frame_to: int):
+        """(trans, matrix, dyaw) expressing frame_to coords in
+        frame_from coords, or None for identity/unknown."""
+        if frame_from == frame_to:
+            return None
+        o_from = self._oxts(video_id, frame_from)
+        o_to = self._oxts(video_id, frame_to)
+        if o_from is None or o_to is None:
+            return None
+        trans, matrix, dyaw = kitti.ego_motion(o_from, o_to)
+        if kitti.is_identity_ego(trans, matrix, dyaw):
+            return None
+        return trans, matrix, dyaw
+
+    def _recover_dets(self, dets, calib, video_id: int,
+                      frame_base: int, frame_own: int):
+        """Copy det dicts whose box_3d is in frame_base coordinates,
+        recovering box_3d into frame_own's own coordinates (reference
+        recovery_coordinate, evaluator_utils.py:401). Identity ego ->
+        boxes pass through bit-identical."""
+        ego = self._ego(video_id, frame_base, frame_own)
+        if not dets or ego is None:
+            return [dict(d) for d in dets]
+        trans, matrix, dyaw = ego
+        boxes = np.stack([d["box_3d"] for d in dets])
+        rec = kitti.transform_boxes_3d(boxes, calib, trans, matrix,
+                                       dyaw, inverse=True)
+        out = []
+        for d, b in zip(dets, rec):
+            nd = dict(d)
+            nd["box_3d"] = b
+            out.append(nd)
+        return out
+
+    def _align_dets_to_prev(self, vid: int, frames: Dict[int, List],
+                            order, calib):
+        """Set box_aligned on every det: its box expressed in the
+        PREVIOUS tracked frame's coordinates, so the tracker's
+        association IoU is ego-compensated (the reference's
+        dets_for_ious second stream, evaluator_utils.py:642-646 — the
+        model's frame-B output is natively in frame-A coordinates; we
+        apply the same known oxts transform uniformly, which also
+        covers MoI-interpolated in-between frames)."""
+        for i in range(1, len(order)):
+            dets = frames[order[i]]
+            if not dets:
+                continue
+            ego = self._ego(vid, order[i - 1], order[i])
+            if ego is None:
+                for d in dets:
+                    d["box_aligned"] = None
+                continue
+            trans, matrix, dyaw = ego
+            boxes = np.stack([d["box_3d"] for d in dets])
+            aligned = kitti.transform_boxes_3d(boxes, calib, trans,
+                                               matrix, dyaw)
+            for d, b in zip(dets, aligned):
+                d["box_aligned"] = b
 
     def _frame_det(self, dets, calib, img_size) -> kitti_ap.FrameDet:
         boxes, bbs, scores, types = [], [], [], []
@@ -291,12 +545,18 @@ class Evaluator:
         for vid, frames in video_dets.items():
             order = sorted(frames)
             img_size = (video_img_size or {}).get(vid, (1242, 375))
+            calib = self.dataset.calib(vid)
+            # ego-compensated association: express each frame's boxes
+            # in the previous tracked frame's coordinates
+            self._align_dets_to_prev(vid, frames, order, calib)
+            gaps = [0] + [order[i] - order[i - 1]
+                          for i in range(1, len(order))]
             dets_seq = [[d for d in frames[f]
                          if d["score"] >= ev.track_lth] for f in order]
             tracks = iou_tracker.track_through_ious(
-                dets_seq, ev.track_hth, ev.track_liou, ev.track_tmin)
+                dets_seq, ev.track_hth, ev.track_liou, ev.track_tmin,
+                frame_gaps=gaps)
             # score vs GT tracking labels
-            calib = self.dataset.calib(vid)
             gt_frames, pred_frames = [], []
             for fi, f in enumerate(order):
                 lab = raw_labels(vid, f)

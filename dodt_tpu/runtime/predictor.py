@@ -151,8 +151,10 @@ class StreamingPredictor:
         out = {}
         if self.encode_times:
             out["encode_cold"] = latency_stats(self.encode_times)
-        if self.pair_times:
-            out["pair"] = latency_stats(
-                self.pair_times[1:] if len(self.pair_times) > 1
-                else self.pair_times)
+        if len(self.pair_times) > 1:
+            out["pair"] = latency_stats(self.pair_times[1:])
+        elif self.pair_times:
+            # a single pair sample still contains jit compilation —
+            # label it cold rather than report it as steady-state
+            out["pair_cold"] = latency_stats(self.pair_times)
         return out

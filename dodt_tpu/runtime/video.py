@@ -58,18 +58,37 @@ def run_video_pipeline(video_dets: Dict[int, Dict[int, List]],
                        sigma_iou: float = 0.1,
                        t_min: int = 1,
                        ttl: int = 1,
-                       interpolate: bool = True) -> Dict[int, List]:
+                       interpolate: bool = True,
+                       align_fn=None) -> Dict[int, List]:
     """Track + interpolate each video. Returns KITTI tracking lines per
     video (reference video_detection.py:535-567 defaults:
-    sigma_l 0.1, sigma_h 0.3, sigma_iou 0.1, t_min 1)."""
+    sigma_l 0.1, sigma_h 0.3, sigma_iou 0.1, t_min 1).
+
+    align_fn(vid, frame_prev, frame_cur, boxes (N, 7)) -> (N, 7):
+    optional ego-motion compensation expressing frame_cur boxes in
+    frame_prev coordinates before association IoU (reference
+    cal_transformed_ious, tracking/tracking_eval.py:104)."""
     out = {}
     for vid, frames in video_dets.items():
         keyframes = sorted(frames)
+        if align_fn is not None:
+            for i in range(1, len(keyframes)):
+                dets = frames[keyframes[i]]
+                if not dets:
+                    continue
+                aligned = align_fn(
+                    vid, keyframes[i - 1], keyframes[i],
+                    np.stack([d["box_3d"] for d in dets]))
+                for d, b in zip(dets, aligned):
+                    d["box_aligned"] = b
+        gaps = [0] + [keyframes[i] - keyframes[i - 1]
+                      for i in range(1, len(keyframes))]
         dets_seq = [[d for d in frames[f] if d["score"] > sigma_l]
                     for f in keyframes]
         if tracker == "iou":
             tracks = iou_tracker.track_through_ious(
-                dets_seq, sigma_h, sigma_iou, t_min, ttl=ttl)
+                dets_seq, sigma_h, sigma_iou, t_min, ttl=ttl,
+                frame_gaps=gaps)
         elif tracker == "kf":
             tracks = kalman.kf_pipeline(dets_seq,
                                         iou_threshold=sigma_iou,

@@ -16,19 +16,20 @@ Detections are dicts:
 from __future__ import annotations
 
 import copy
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from dodt_tpu.utils.np_iou import three_d_iou
 
 
-def _propagated(box_3d: np.ndarray, offsets) -> np.ndarray:
+def _propagated(box_3d: np.ndarray, offsets,
+                scale: float = 1.0) -> np.ndarray:
     out = np.array(box_3d, dtype=np.float64).copy()
     if offsets is not None:
-        out[0] += offsets[0]
-        out[2] += offsets[1]
-        out[6] += offsets[2]
+        out[0] += offsets[0] * scale
+        out[2] += offsets[1] * scale
+        out[6] += offsets[2] * scale
     return out
 
 
@@ -36,17 +37,34 @@ def track_through_ious(dets_per_frame: List[List[Dict]],
                        high_threshold: float = 0.85,
                        iou_threshold: float = 0.005,
                        t_min: int = 3,
-                       ttl: int = 1) -> List[Dict]:
+                       ttl: int = 1,
+                       frame_gaps: Optional[List[int]] = None
+                       ) -> List[Dict]:
     """Greedy IoU tracker with offset propagation.
 
+    Ego-motion alignment (reference `dets_for_ious` second stream,
+    evaluator_utils.py:642-646): association IoU is computed in the
+    PREVIOUS tracked frame's coordinates — the propagated track box is
+    already there, and each candidate det supplies `box_aligned` (its
+    box expressed in the previous frame's coordinates; the model's
+    frame-B output is natively in frame-A coordinates, or the caller
+    applies the known oxts ego transform). The stored trajectory keeps
+    `box_3d` in each frame's OWN coordinates (the reference's
+    `recovery_coordinate` contract). Without `box_aligned`, `box_3d`
+    is used for IoU as well (zero-ego / legacy behavior).
+
     Args:
-      dets_per_frame: detections per keyframe (already in a common or
-        per-frame-consistent coordinate frame).
+      dets_per_frame: detections per tracked frame.
       high_threshold: min max-score for a track to be kept.
       iou_threshold: association threshold.
       t_min: minimum track length.
       ttl: frames a track survives without a match (1 = strict, like
         track_through_ious; >1 = track_iou_v2 occlusion tolerance).
+      frame_gaps: real-frame gap between entry i-1 and i (entry 0
+        unused). A det's `offsets` span `offsets_span` frames (default:
+        the gap, i.e. offsets already match the step); propagation is
+        scaled by gap/span so tau-span keyframe offsets propagate
+        correctly over 1-frame (MoI-interpolated) steps.
 
     Returns:
       list of {trajectory: [det...], max_score, start_frame, frames}.
@@ -55,15 +73,28 @@ def track_through_ious(dets_per_frame: List[List[Dict]],
     tracks_finished: List[Dict] = []
 
     for frame_num, frame_dets in enumerate(dets_per_frame):
+        gap = frame_gaps[frame_num] if frame_gaps is not None and \
+            frame_num < len(frame_gaps) else None
         dets = list(frame_dets)
         updated = []
         for track in tracks_active:
             matched = False
             if dets:
                 last = track["trajectory"][-1]
-                prop = _propagated(last["box_3d"], last.get("offsets"))
+                span = last.get("offsets_span") or gap
+                # with ttl>1 a track may have skipped frames since its
+                # last match; accumulate the real-frame gap so the
+                # offset propagation covers the whole skip
+                eff_gap = None if gap is None else \
+                    gap + track.get("pending_gap", 0)
+                scale = 1.0 if eff_gap is None or not span \
+                    else eff_gap / span
+                prop = _propagated(last["box_3d"], last.get("offsets"),
+                                   scale)
                 ious = three_d_iou(
-                    prop, np.stack([d["box_3d"] for d in dets]))
+                    prop, np.stack([
+                        d["box_aligned"] if d.get("box_aligned")
+                        is not None else d["box_3d"] for d in dets]))
                 best = int(np.argmax(ious))
                 if ious[best] > iou_threshold:
                     det = dets.pop(best)
@@ -72,10 +103,14 @@ def track_through_ious(dets_per_frame: List[List[Dict]],
                     track["max_score"] = max(track["max_score"],
                                              det["score"])
                     track["miss"] = 0
+                    track["pending_gap"] = 0
                     updated.append(track)
                     matched = True
             if not matched:
                 track["miss"] = track.get("miss", 0) + 1
+                if gap is not None:
+                    track["pending_gap"] = \
+                        track.get("pending_gap", 0) + gap
                 if track["miss"] < ttl:
                     updated.append(track)   # keep alive (v2 semantics)
                 elif track["max_score"] >= high_threshold and \

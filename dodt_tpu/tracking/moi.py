@@ -65,6 +65,10 @@ def interpolate_pair(det0: Optional[Dict], det1: Optional[Dict],
         obj["box_3d"] = box
         obj["score"] = score
         obj["interpolated"] = True
+        # interpolated frames sit 1 real frame apart: re-express the
+        # tau-span motion as a per-frame step for tracker propagation
+        obj["offsets"] = np.asarray(offsets, np.float64) / (n - 1)
+        obj["offsets_span"] = 1
         return obj
 
     if det0 is not None and det1 is not None:
@@ -115,9 +119,10 @@ def interpolate_non_keyframes(dets0: List[Dict], dets1: List[Dict],
     """Full MoI: match keyframe detections, interpolate the gap.
 
     Returns per-frame detection lists of length `num_frames`
-    (keyframes at both ends). Note: frame-tau outputs remain in frame-0
-    coordinates; callers needing per-frame ego coordinates apply
-    kitti.inverse_transform_labels (reference recovery_predictions:370).
+    (keyframes at both ends). Outputs are in frame-0 coordinates; the
+    Evaluator recovers each frame into its own ego coordinates via
+    kitti.transform_boxes_3d(inverse=True) before writing/scoring
+    (reference recovery_predictions:370, recovery loop :502-506).
     """
     if num_frames == 1:
         return [dets0]

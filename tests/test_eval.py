@@ -221,3 +221,112 @@ def test_stride_eval_interpolates_non_keyframes(tmp_path):
     names = sorted(os.listdir(pred_dir))
     # keyframes 0,3,6 AND interpolated 1,2,4,5 all written
     assert names == [f"00{f:04d}.txt" for f in range(7)], names
+
+
+def test_fixture_ceiling_is_100(tmp_path):
+    """keep_in_view fixtures (the default) place every GT inside the
+    camera FOV and BEV area for ALL frames, so perfect detections score
+    AP 100 instead of the 9/11 = 81.82 protocol ceiling an out-of-view
+    GT imposes — at-ceiling trajectories could not regress (VERDICT r2
+    item 7). One unconstrained scene keeps the legacy behavior for the
+    border/offset logic."""
+    from dodt_tpu import config as cfg_mod
+    from dodt_tpu.data import synthetic, tracking
+
+    from dodt_tpu.eval import kitti_ap
+
+    # the official 41-threshold protocol needs >= 41 valid GT per
+    # difficulty to reach AP 100 (one threshold per true positive);
+    # easy demands bbox height >= 40 px i.e. z <~ 25 m, so cap z
+    root = str(tmp_path / "kitti")
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=8,
+                                     ego_speed=0.8, num_cars=6, seed=2,
+                                     z_range=(7.0, 24.0))
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.video_train_ids = (0,)
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="trainval")
+
+    rng = np.random.RandomState(0)
+    gts, dets = [], []
+    for f in range(8):
+        raw = ds.raw_labels(0, f)
+        dc = np.array([t == "DontCare" for t in raw.types], bool)
+        gts.append(kitti_ap.FrameGt.from_labels(
+            raw.select(~dc), dontcare=raw.bbox_2d[dc]))
+        lab = ds.labels(0, f)
+        scores = rng.uniform(0.5, 1.0, len(lab))  # distinct scores
+        dets.append(kitti_ap.FrameDet(
+            lab.box_3d.astype(np.float64), lab.bbox_2d.astype(np.float64),
+            scores, ["Car"] * len(lab)))
+    for metric in ("image", "ground", "3d"):
+        ap = kitti_ap.evaluate_ap(gts, dets, "Car", metric, 0.7)
+        for diff, v in ap.items():
+            assert v > 99.0, (metric, diff, ap)
+
+    # unconstrained placement stays available (objects may leave view)
+    scene = synthetic.SyntheticScene(0, 8, num_cars=6, seed=0,
+                                     ego_speed=2.0, keep_in_view=False)
+    in_view = [len(scene.camera_boxes_at(f)) for f in range(8)]
+    assert min(in_view) < 6  # someone left the scene
+
+
+def test_val_health_and_batched_eval(tmp_path):
+    """VERDICT r2 items 5+9: the evaluator's val loop runs batched
+    through one jit (results invariant to eval batch size), and
+    val_health emits per-checkpoint val losses + RPN proposal recall
+    (reference save_proposal_losses_results, dt_evaluator.py:764-810)."""
+    import jax
+    import jax.numpy as jnp
+    from dodt_tpu import config as cfg_mod
+    from dodt_tpu.data import synthetic, tracking
+    from dodt_tpu.models import dt_avod
+    from dodt_tpu.runtime.trainer import CheckpointIO, create_train_state
+    from dodt_tpu.runtime.evaluator import Evaluator
+    from dodt_tpu.eval import reporting
+
+    root = str(tmp_path / "kitti")
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=5,
+                                     ego_speed=0.5)
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.video_train_ids = (0,)
+    cfg.dataset.max_points = 4096
+
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="trainval")
+    model = dt_avod.DtAvodNet(cfg=cfg,
+                              cluster_sizes=((3.9, 1.6, 1.52),))
+    batch = {k: jnp.asarray(v)[None]
+             for k, v in ds.load_couple(0, augs=()).items()
+             if isinstance(v, np.ndarray)}
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    ck = CheckpointIO(str(tmp_path / "ckpt"))
+    ck.save(1, state._replace(step=np.int32(1)))
+
+    cfg.eval.val_health = True
+    ev1 = Evaluator(cfg, model, ds, ckpt_dir=str(tmp_path / "ckpt"),
+                    output_dir=str(tmp_path / "eval_b1"))
+    r1 = ev1.run_checkpoint_once(1)
+
+    vh = r1["val_health"]
+    assert set(vh) >= {"val_losses", "proposal_recall", "num_gt"}
+    assert np.isfinite(vh["val_losses"]["total"])
+    for v in vh["proposal_recall"].values():
+        assert 0.0 <= v <= 1.0
+    # the table surfaces the health columns
+    table = reporting.format_table([r1])
+    assert "val_loss" in table and "recall@0.5" in table
+
+    # batched eval: same results through a batch-2 jit (last chunk
+    # padded)
+    cfg2 = cfg_mod.PipelineConfig.from_json(cfg.to_json())
+    cfg2.eval.batch_size = 2
+    cfg2.eval.val_health = False
+    ev2 = Evaluator(cfg2, model, ds, ckpt_dir=str(tmp_path / "ckpt"),
+                    output_dir=str(tmp_path / "eval_b2"))
+    r2 = ev2.run_checkpoint_once(1)
+    for metric in ("AP_3D", "AP_BEV", "AP_2D"):
+        for diff in ("easy", "moderate", "hard"):
+            np.testing.assert_allclose(
+                r2["ap"][metric][diff], r1["ap"][metric][diff],
+                atol=1e-6, err_msg=f"{metric}/{diff}")

@@ -125,3 +125,35 @@ def test_model_learns_all_stages(world, tmp_path):
     r1 = _proposal_recall(model, state.params, ds, apply_fn)
     assert r1 >= 0.5, (r0, r1)
     assert r1 >= r0 + 0.2, (r0, r1)
+
+
+@pytest.mark.skipif("RUN_SLOW_TESTS" not in __import__("os").environ,
+                    reason="nightly: set RUN_SLOW_TESTS=1 (600-step "
+                           "CPU train, ~30 min on a 1-core box)")
+def test_end_to_end_ap_improves(world, tmp_path):
+    """Nightly end-to-end regression (ADVICE r2): trained AP_3D through
+    the official-protocol evaluator must beat the untrained baseline
+    and clear a floor — catches second-stage box-decode regressions
+    that leave the stage-wise losses healthy."""
+    from dodt_tpu.runtime.evaluator import Evaluator
+    from dodt_tpu.runtime.trainer import Trainer
+
+    root, cfg = world
+    steps = 600
+    cfg.train.checkpoint_interval = steps
+
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="train")
+    model = dt_avod.DtAvodNet(cfg=cfg, cluster_sizes=CLUSTERS)
+    trainer = Trainer(cfg, model, ds, str(tmp_path / "ckpt"),
+                      batch_size=1)
+    state0 = trainer.init_or_restore()
+    trainer.ckpt.save(0, state0)
+    trainer.train(max_steps=steps, log_every=100)
+
+    ev_ds = tracking.KittiTrackingDataset(cfg.dataset, split="trainval")
+    ev = Evaluator(cfg, model, ev_ds, str(tmp_path / "ckpt"),
+                   str(tmp_path / "eval"))
+    ap_untrained = ev.run_checkpoint_once(0)["ap"]["AP_3D"]["moderate"]
+    ap_trained = ev.run_checkpoint_once(steps)["ap"]["AP_3D"]["moderate"]
+    assert ap_trained > ap_untrained, (ap_untrained, ap_trained)
+    assert ap_trained > 30.0, ap_trained

@@ -1,0 +1,117 @@
+"""Staged training executed end-to-end (VERDICT r2 item 6).
+
+Parity target: the reference's documented flow — detector pretrain,
+then corr-branch training with the detector restored and frozen
+(/root/reference/avod/core/trainer.py:64-183 restores trainable-
+variable index slices [:68]+[70:94] from the pretrained RPN run and
+trains only [68:70]+[94:]). Here the same split is expressed as named
+parameter subtrees (config.DETECTOR_SUBTREES) driven through
+`pretrained_checkpoint` + `frozen_subtrees` with REAL train steps and
+an eval, not just the gradient-mask unit test.
+"""
+import numpy as np
+import pytest
+import jax
+
+from dodt_tpu import config as cfg_mod
+from dodt_tpu.data import detection, synthetic, tracking
+from dodt_tpu.models import dt_avod
+from dodt_tpu.runtime.trainer import Trainer
+
+CLUSTERS = ((3.9, 1.6, 1.52),)
+
+
+def _leaf_max_abs_diff(a, b):
+    diffs = jax.tree_util.tree_map(
+        lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()),
+        a, b)
+    return max(jax.tree_util.tree_leaves(diffs))
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    obj_root = str(tmp_path_factory.mktemp("kitti_obj"))
+    trk_root = str(tmp_path_factory.mktemp("kitti_trk"))
+    synthetic.write_detection_fixture(obj_root, num_frames=3)
+    synthetic.write_tracking_fixture(trk_root, num_videos=1,
+                                     num_frames=4, ego_speed=0.5)
+
+    def base_cfg():
+        cfg = cfg_mod.unittest_pipeline()
+        cfg.dataset.kitti_utils.area_extents = (
+            (-16.0, 16.0), (-3.0, 3.0), (0.0, 48.0))
+        cfg.dataset.kitti_utils.anchor_strides = (1.0, 1.0)
+        cfg.dataset.max_points = 4096
+        cfg.dataset.video_train_ids = (0,)
+        cfg.train.checkpoint_interval = 2
+        return cfg
+
+    return obj_root, trk_root, base_cfg
+
+
+def test_staged_flow_end_to_end(world, tmp_path):
+    obj_root, trk_root, base_cfg = world
+
+    # ---- stage 1: single-frame detector pretrain
+    cfg1 = base_cfg()
+    cfg1.model.model_name = "avod_model"
+    cfg1.dataset.dataset_dir = obj_root
+    ds1 = detection.KittiDataset(cfg1.dataset, split="train")
+    model1 = dt_avod.DtAvodNet(cfg=cfg1, cluster_sizes=CLUSTERS,
+                               num_frames=1)
+    pre_dir = str(tmp_path / "pretrain")
+    t1 = Trainer(cfg1, model1, ds1, pre_dir, batch_size=1)
+    state1, _ = t1.train(max_steps=2, log_every=1)
+    pre_params = state1.params
+    # the single-frame model has no correlation branch
+    assert "corr_fc" not in pre_params
+    for name in cfg_mod.DETECTOR_SUBTREES:
+        assert name in pre_params, name
+
+    # ---- stage 2: DT pair model, detector restored + frozen
+    cfg2 = base_cfg()
+    staged = cfg_mod.cars_dt_tracking_staged(pre_dir)
+    cfg2.train.pretrained_checkpoint = staged.train.pretrained_checkpoint
+    cfg2.train.pretrained_subtrees = staged.train.pretrained_subtrees
+    cfg2.train.frozen_subtrees = staged.train.frozen_subtrees
+    cfg2.dataset.dataset_dir = trk_root
+    ds2 = tracking.KittiTrackingDataset(cfg2.dataset, split="train")
+    model2 = dt_avod.DtAvodNet(cfg=cfg2, cluster_sizes=CLUSTERS)
+    ck2 = str(tmp_path / "staged")
+    t2 = Trainer(cfg2, model2, ds2, ck2, batch_size=1)
+
+    state2 = t2.init_or_restore()
+    # restored detector subtrees match the pretrain bit-for-bit
+    for name in cfg_mod.DETECTOR_SUBTREES:
+        assert _leaf_max_abs_diff(state2.params[name],
+                                  pre_params[name]) == 0.0, name
+    # the correlation branch exists and is freshly initialized
+    assert "corr_fc" in state2.params
+    assert "bev_corr_bottleneck" in state2.params
+
+    state2b, history = t2.train(max_steps=2, log_every=1)
+    assert all(np.isfinite(h["total"]) for h in history)
+    # frozen detector unchanged by real optimizer steps...
+    for name in cfg_mod.DETECTOR_SUBTREES:
+        assert _leaf_max_abs_diff(state2b.params[name],
+                                  pre_params[name]) == 0.0, name
+    # ...while the correlation branch is trainable: the gradient mask
+    # freezes exactly the detector subtrees (movement of corr_fc in 2
+    # steps is not assertable — its loss is masked by positive
+    # proposals, which a 2-step pretrain rarely produces; the masked
+    # optimizer unit test covers update zeroing)
+    from dodt_tpu.runtime.trainer import frozen_mask_from_subtrees
+    mask = frozen_mask_from_subtrees(state2b.params,
+                                     cfg2.train.frozen_subtrees)
+    for name in state2b.params:
+        leaves = jax.tree_util.tree_leaves(mask[name])
+        expect = name in cfg_mod.DETECTOR_SUBTREES
+        assert all(l == expect for l in leaves), name
+
+    # ---- eval runs on the staged checkpoint
+    from dodt_tpu.runtime.evaluator import Evaluator
+    ev_ds = tracking.KittiTrackingDataset(cfg2.dataset,
+                                          split="trainval")
+    ev = Evaluator(cfg2, model2, ev_ds, ck2, str(tmp_path / "eval"))
+    results = ev.run_checkpoint_once(2)
+    assert "ap" in results and "mot" in results
