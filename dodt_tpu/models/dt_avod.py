@@ -49,33 +49,44 @@ from dodt_tpu.ops.voxel import bev_maps_from_points
 
 class MlpHead(nn.Module):
     """FC stack with dropout, final linear output (conv-as-FC heads in
-    the reference, rpn_model.py:365-441 / fusion_fc_layers.py)."""
+    the reference, rpn_model.py:365-441 / fusion_fc_layers.py).
+
+    `dtype` is the compute dtype (params stay f32): bf16 puts the FC
+    matmuls on the MXU at full rate and halves their HBM traffic;
+    outputs are cast back to f32 for decode/losses."""
     sizes: Tuple[int, ...]
     out_dim: int
     keep_prob: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
         for i, s in enumerate(self.sizes):
-            x = nn.Dense(s, name=f"fc{6 + i}")(x)
+            x = nn.Dense(s, name=f"fc{6 + i}", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Dropout(1.0 - self.keep_prob, deterministic=not train)(x)
-        return nn.Dense(self.out_dim, name="out")(x)
+        return nn.Dense(self.out_dim, name="out",
+                        dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class FcTrunk(nn.Module):
-    """Shared FC trunk + multiple linear output branches."""
+    """Shared FC trunk + multiple linear output branches. Computes in
+    `dtype` (see MlpHead), emits f32."""
     sizes: Tuple[int, ...]
     out_dims: Tuple[int, ...]
     keep_prob: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
         for i, s in enumerate(self.sizes):
-            x = nn.Dense(s, name=f"fc{i}")(x)
+            x = nn.Dense(s, name=f"fc{i}", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Dropout(1.0 - self.keep_prob, deterministic=not train)(x)
-        return tuple(nn.Dense(d, name=f"out{i}")(x)
+        return tuple(nn.Dense(d, name=f"out{i}",
+                              dtype=self.dtype)(x).astype(jnp.float32)
                      for i, d in enumerate(self.out_dims))
 
 
@@ -100,15 +111,22 @@ class AvodTrunk(nn.Module):
     """Second-stage FC trunk over (bev, img) ROI features with
     early / late / deep fusion (reference fusion_fc_layers.py:136,
     183, 236) and mean / concat / max feature fusion, followed by
-    linear output branches."""
+    linear output branches. Computes in `dtype` (bf16 on TPU), emits
+    f32 (see MlpHead)."""
     sizes: Tuple[int, ...]
     out_dims: Tuple[int, ...]
     keep_prob: float = 0.5
     fusion_type: str = "early"
     fusion_method: str = "mean"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, bev, img, wb, wi, train: bool):
+        bev = bev.astype(self.dtype)
+        img = img.astype(self.dtype)
+        wb = jnp.asarray(wb, self.dtype)
+        wi = jnp.asarray(wi, self.dtype)
+        nn_Dense = functools.partial(nn.Dense, dtype=self.dtype)
         drop = functools.partial(nn.Dropout, deterministic=not train)
 
         if self.fusion_type == "late":
@@ -116,9 +134,9 @@ class AvodTrunk(nn.Module):
             hb, hi = bev, img
             for i, s in enumerate(self.sizes):
                 hb = drop(1.0 - self.keep_prob)(
-                    nn.relu(nn.Dense(s, name=f"bev_fc{i}")(hb)))
+                    nn.relu(nn_Dense(s, name=f"bev_fc{i}")(hb)))
                 hi = drop(1.0 - self.keep_prob)(
-                    nn.relu(nn.Dense(s, name=f"img_fc{i}")(hi)))
+                    nn.relu(nn_Dense(s, name=f"img_fc{i}")(hi)))
             h = feature_fuse(hb, hi, wb, wi, self.fusion_method)
         elif self.fusion_type == "deep":
             # fuse at every layer, each branch consumes the fusion
@@ -128,16 +146,16 @@ class AvodTrunk(nn.Module):
                     if i else feature_fuse(bev, img, wb, wi,
                                            self.fusion_method)
                 hb = drop(1.0 - self.keep_prob)(
-                    nn.relu(nn.Dense(s, name=f"bev_fc{i}")(h)))
+                    nn.relu(nn_Dense(s, name=f"bev_fc{i}")(h)))
                 hi = drop(1.0 - self.keep_prob)(
-                    nn.relu(nn.Dense(s, name=f"img_fc{i}")(h)))
+                    nn.relu(nn_Dense(s, name=f"img_fc{i}")(h)))
             h = feature_fuse(hb, hi, 1.0, 1.0, self.fusion_method)
         else:                                        # early
             h = feature_fuse(bev, img, wb, wi, self.fusion_method)
             for i, s in enumerate(self.sizes):
                 h = drop(1.0 - self.keep_prob)(
-                    nn.relu(nn.Dense(s, name=f"fc{i}")(h)))
-        return tuple(nn.Dense(d, name=f"out{i}")(h)
+                    nn.relu(nn_Dense(s, name=f"fc{i}")(h)))
+        return tuple(nn_Dense(d, name=f"out{i}")(h).astype(jnp.float32)
                      for i, d in enumerate(self.out_dims))
 
 
@@ -250,10 +268,12 @@ class DtAvodNet(nn.Module):
         self.corr_bottleneck = CorrBottleneck(
             1, m.correlation.max_displacement, m.correlation.stride_2,
             name="bev_corr_bottleneck")
+        # heads share the towers' compute dtype (bf16 on TPU: full-rate
+        # MXU matmuls + half the HBM traffic; outputs are f32)
         self.rpn_cls = MlpHead(m.rpn.cls_fc_sizes, 2, m.rpn.keep_prob,
-                               name="rpn_cls")
+                               dtype=dtype, name="rpn_cls")
         self.rpn_reg = MlpHead(m.rpn.reg_fc_sizes, 6, m.rpn.keep_prob,
-                               name="rpn_reg")
+                               dtype=dtype, name="rpn_reg")
         # representation branch: cls / offsets / [angle vector]
         rep = m.avod.box_representation
         out_dims = (self.num_classes, OFFSETS_SIZE[rep])
@@ -263,9 +283,11 @@ class DtAvodNet(nn.Module):
                                     m.avod.keep_prob,
                                     m.avod.fusion_type,
                                     m.avod.fusion_method,
+                                    dtype=dtype,
                                     name="avod_fc")
         self.corr_head = MlpHead(m.avod.fc_layer_sizes, 3,
-                                 m.avod.keep_prob, name="corr_fc")
+                                 m.avod.keep_prob, dtype=dtype,
+                                 name="corr_fc")
 
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, Any], train: bool,

@@ -94,13 +94,15 @@ class StackAvodNet(nn.Module):
                                          name="int_bev_bottleneck")
         self.img_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
                                          name="img_bottleneck")
+        # heads share the towers' compute dtype (bf16 on TPU)
         self.rpn_cls = MlpHead(m.rpn.cls_fc_sizes, 2, m.rpn.keep_prob,
-                               name="rpn_cls")
+                               dtype=dtype, name="rpn_cls")
         self.rpn_reg = MlpHead(m.rpn.reg_fc_sizes, 6, m.rpn.keep_prob,
-                               name="rpn_reg")
+                               dtype=dtype, name="rpn_reg")
         self.avod_trunk = FcTrunk(m.avod.fc_layer_sizes,
                                   (self.num_classes, 10, 2),
-                                  m.avod.keep_prob, name="avod_fc")
+                                  m.avod.keep_prob, dtype=dtype,
+                                  name="avod_fc")
         self.corr_head = StackCorrHead(fc_sizes=m.rpn.corr_fc_sizes,
                                        keep_prob=m.rpn.keep_prob,
                                        name="stack_corr")
