@@ -36,6 +36,7 @@ cfg.dataset.dataset_dir = root
 cfg.dataset.max_points = 32768
 cfg.dataset.video_train_ids = (0, 1)
 cfg.train.checkpoint_interval = EVAL_EVERY
+cfg.eval.batch_size = 4  # batched val loop (round 3)
 cfg.train.optimizer.initial_lr = 1e-3  # fixture-scale schedule: 3x
 # faster to AP than the reference's 120k-step 1e-4 (LR sweep, round 2)
 

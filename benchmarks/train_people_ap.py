@@ -3,7 +3,7 @@ Pedestrian+Cyclist model on a class-mixed synthetic fixture and record
 per-class AP through the official-protocol evaluator (others scored at
 min IoU 0.5, like the official CLASS/MIN_OVERLAP tables).
 
-Results land in results_r02/people_ap.json.
+Results land in results_r03/people_ap.json.
 Run: python benchmarks/train_people_ap.py [steps]
 """
 import json
@@ -35,6 +35,7 @@ cfg.dataset.max_points = 32768
 cfg.dataset.video_train_ids = (0, 1)
 cfg.train.checkpoint_interval = EVAL_EVERY
 cfg.train.optimizer.initial_lr = 1e-3  # fixture-scale schedule
+cfg.eval.batch_size = 4                # batched val loop
 
 CLUSTERS = ((0.7, 0.65, 1.75), (1.7, 0.55, 1.65))
 
@@ -63,8 +64,8 @@ for step in trainer.ckpt.all_steps():
     trajectory.append(row)
     print(row)
 
-os.makedirs("results_r02", exist_ok=True)
-with open("results_r02/people_ap.json", "w") as f:
+os.makedirs("results_r03", exist_ok=True)
+with open("results_r03/people_ap.json", "w") as f:
     json.dump({"loss_history": history, "ap_trajectory": trajectory},
               f, indent=2)
-print("wrote results_r02/people_ap.json")
+print("wrote results_r03/people_ap.json")

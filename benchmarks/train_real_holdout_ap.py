@@ -36,6 +36,7 @@ cfg.dataset.video_train_ids = (0, 1)   # clip 2 held out
 cfg.train.checkpoint_interval = EVAL_EVERY
 cfg.train.optimizer.initial_lr = 1e-3  # fixture-scale schedule
 cfg.eval.val_health = True             # val losses + proposal recall
+cfg.eval.batch_size = 4                # batched val loop
 
 ds = tracking.KittiTrackingDataset(cfg.dataset, split="train")
 print(f"{len(ds.couples)} train couples (clips 0+1)")

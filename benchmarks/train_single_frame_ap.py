@@ -32,6 +32,7 @@ cfg.dataset.dataset_dir = root
 cfg.dataset.max_points = 32768
 cfg.train.checkpoint_interval = EVAL_EVERY
 cfg.train.optimizer.initial_lr = 1e-3  # fixture-scale schedule
+cfg.eval.batch_size = 4                # batched val loop
 
 ds = detection.KittiDataset(cfg.dataset, split="train")
 print(f"{len(ds)} detection samples")

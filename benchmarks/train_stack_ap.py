@@ -36,6 +36,7 @@ cfg.dataset.max_points = 32768
 cfg.dataset.video_train_ids = (0, 1)
 cfg.train.checkpoint_interval = EVAL_EVERY
 cfg.train.optimizer.initial_lr = 1e-3  # fixture-scale schedule
+cfg.eval.batch_size = 4                # batched val loop
 
 ds = stack_data.KittiTrackingStackDataset(cfg.dataset, split="train")
 print(f"{len(ds.couples)} stacks of {ds.num_frames} frames")

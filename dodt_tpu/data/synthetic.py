@@ -109,7 +109,7 @@ class SyntheticScene:
         for cid in range(num_cars):
             cls = object_classes[cid % len(object_classes)]
             spec = _CLASS_SPECS[cls]
-            for _attempt in range(200):
+            for _attempt in range(500):
                 x0 = rng.uniform(-8, 8)
                 z0 = rng.uniform(8, 40)
                 vx = rng.uniform(-0.4, 0.4) * spec["speed"]
@@ -119,13 +119,32 @@ class SyntheticScene:
                 f = np.arange(num_frames)
                 x = x0 + vx * f
                 z = z0 + vz * f - ego_speed * f
-                if (z >= z_range[0]).all() and (z <= z_range[1]).all() \
-                        and (np.abs(x) <= fov_frac * z).all():
+                if not ((z >= z_range[0]).all()
+                        and (z <= z_range[1]).all()
+                        and (np.abs(x) <= fov_frac * z).all()):
+                    continue
+                # no physical overlap with already-placed objects at
+                # ANY frame (overlapping GT is unphysical and gets
+                # NMS-suppressed, silently capping detection recall)
+                wx = x0 + vx * f          # world coords (frame-0 cam)
+                wz = z0 + vz * f
+                clear = True
+                for other in self.cars:
+                    ox = other["x0"] + other["vx"] * f
+                    oz = other["z0"] + other["vz"] * f
+                    min_sep = (max(spec["l"]) + max(
+                        _CLASS_SPECS[other["cls"]]["l"])) / 2.0 + 0.4
+                    d = np.hypot(wx - ox, wz - oz)
+                    if (d < min_sep).any():
+                        clear = False
+                        break
+                if clear:
                     break
             else:
                 raise ValueError(
-                    "could not place an in-view trajectory; reduce "
-                    "ego_speed * num_frames or widen z_range")
+                    "could not place an in-view non-overlapping "
+                    "trajectory; reduce ego_speed * num_frames, "
+                    "num_cars, or widen z_range")
             ry = rng.uniform(-np.pi, np.pi)
             dims = (rng.uniform(*spec["l"]), rng.uniform(*spec["w"]),
                     rng.uniform(*spec["h"]))

@@ -50,6 +50,23 @@ def load_kitti_detections(pred_dir: str) -> Dict[int, Dict[int, List]]:
     return out
 
 
+def dataset_align_fn(dataset):
+    """Build an ego-alignment callback for `run_video_pipeline` from a
+    KittiTrackingDataset: expresses frame_cur boxes in frame_prev
+    coordinates via the oxts poses (reference cal_transformed_ious,
+    tracking/tracking_eval.py:104)."""
+    from dodt_tpu.data import kitti
+
+    def fn(vid, f_prev, f_cur, boxes):
+        o1 = kitti.read_oxts(dataset.oxts_dir, vid, f_prev)
+        o2 = kitti.read_oxts(dataset.oxts_dir, vid, f_cur)
+        trans, matrix, dyaw = kitti.ego_motion(o1, o2)
+        return kitti.transform_boxes_3d(boxes, dataset.calib(vid),
+                                        trans, matrix, dyaw)
+
+    return fn
+
+
 def run_video_pipeline(video_dets: Dict[int, Dict[int, List]],
                        tracker: str = "iou",
                        stride: int = 1,

@@ -101,3 +101,44 @@ def test_viz_smoke(tmp_path):
     p2 = viz.draw_image_boxes(img, [(10, 10, 60, 60)], [0.5],
                               path=str(tmp_path / "img.png"))
     assert os.path.getsize(p2) > 500
+
+
+def test_video_pipeline_ego_alignment(tmp_path):
+    """align_fn gives the post-detection video pipeline the reference's
+    ego-transformed association IoU (cal_transformed_ious): at 2 m/frame
+    ego speed with tau=3 keyframes, tracks fragment without it and stay
+    whole with it."""
+    from dodt_tpu.data import synthetic, tracking
+    from dodt_tpu import config as cfg_mod
+
+    root = str(tmp_path / "kitti")
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=7,
+                                     ego_speed=2.0, num_cars=3, seed=4)
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.video_train_ids = (0,)
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="trainval")
+    scene = synthetic.SyntheticScene(0, 7, num_cars=3, seed=4,
+                                     ego_speed=2.0)
+
+    def make_dets():
+        frames = {}
+        for f in (0, 3, 6):
+            frames[f] = [{"box_3d": np.asarray(b, float), "score": 0.9,
+                          "offsets": np.zeros(3), "coexist": 1.0}
+                         for _, b in scene.camera_boxes_at(f)]
+        return {0: frames}
+
+    def track_count(lines):
+        return len({ln.split()[1] for ln in lines})
+
+    aligned = video.run_video_pipeline(
+        make_dets(), tracker="iou", stride=3, sigma_iou=0.01,
+        t_min=2, interpolate=False,
+        align_fn=video.dataset_align_fn(ds))
+    broken = video.run_video_pipeline(
+        make_dets(), tracker="iou", stride=3, sigma_iou=0.01,
+        t_min=2, interpolate=False)
+    assert track_count(aligned[0]) == 3, aligned[0]
+    # without alignment, the 6 m apparent shift kills every association
+    assert track_count(broken[0]) == 0, broken[0]
