@@ -20,6 +20,16 @@ Two deliberate departures from TF semantics, both TPU-motivated:
 
 Out-of-range samples clamp to the edge (equivalent to TF's behavior on
 pre-clipped boxes, which is the only way the reference uses it).
+
+* **Matmul form** (``method="matmul"``): bilinear sampling is separable,
+  so the whole crop is two matmuls against hat-function interpolation
+  matrices: ``crops = Ry @ F @ Cx^T`` with
+  ``Ry[n*sy, y] = max(0, 1 - |y_sample - y|)`` (exactly the two bilinear
+  taps + weights per row). TPU gathers are per-access bound and run far
+  below HBM streaming rate; the MXU does not care that Ry/Cx are 2-sparse.
+  At the RPN pass-2 shape (8192 ROIs x 3x3 from a 180x600x1 bottleneck)
+  this replaces ~74k gather accesses with ~5 GFLOP of bf16 matmul — tens
+  of microseconds instead of milliseconds.
 """
 from __future__ import annotations
 
@@ -47,18 +57,62 @@ def sample_grid(boxes_norm: jnp.ndarray, dim_px: int, lo: jnp.ndarray,
     return jnp.clip(t * dim_px - 0.5, 0.0, dim_px - 1)
 
 
+def interp_matrix(coords: jnp.ndarray, dim_px: int) -> jnp.ndarray:
+    """Hat-function bilinear interpolation matrix.
+
+    coords: (N, S) pixel sample positions already clamped to
+    [0, dim_px - 1]. Returns (N, S, dim_px) with exactly the two
+    bilinear taps per row: weight (1 - frac) at floor(coord) and frac at
+    floor(coord) + 1 (a single weight 1 on integer coords). Rows sum
+    to 1.
+    """
+    r = jnp.arange(dim_px, dtype=coords.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - r))
+
+
+def crop_and_resize_matmul(image: jnp.ndarray, boxes_norm: jnp.ndarray,
+                           crop_size: int) -> jnp.ndarray:
+    """Crop-and-resize as two interpolation matmuls (MXU, gather-free).
+
+    Numerically equivalent to the gather path (same sample lattice, same
+    clamping); preferred on TPU whenever N*S is large enough that the
+    per-access gather cost dominates the dense-contraction FLOPs.
+    """
+    h, w, c = image.shape
+    n = boxes_norm.shape[0]
+    s = crop_size
+    ys = sample_grid(boxes_norm, h, boxes_norm[:, 0], boxes_norm[:, 2], s)
+    xs = sample_grid(boxes_norm, w, boxes_norm[:, 1], boxes_norm[:, 3], s)
+    ry = interp_matrix(ys, h).astype(image.dtype)        # (N, S, H)
+    cx = interp_matrix(xs, w).astype(image.dtype)        # (N, S, W)
+    # contract H once for all ROIs: (N*S, H) @ (H, W*C)
+    rowred = (ry.reshape(n * s, h) @ image.reshape(h, w * c)
+              ).reshape(n, s, w, c)
+    # per-ROI contraction over W (batched GEMM)
+    return jnp.einsum("nywc,nxw->nyxc", rowred, cx)
+
+
 def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
-                    crop_size: int) -> jnp.ndarray:
+                    crop_size: int, method: str = "auto") -> jnp.ndarray:
     """Bilinear crop-and-resize.
 
     Args:
       image: (H, W, C) feature map.
       boxes_norm: (N, 4) normalized [y1, x1, y2, x2] in [0, 1].
       crop_size: static output side S.
+      method: "auto" | "gather" | "matmul". "auto" picks the matmul form
+        when the crop batch is gather-dominated (N*S >= 256: both the
+        RPN pass-2 and the second-stage shapes), the packed-gather form
+        otherwise.
 
     Returns:
       (N, S, S, C) crops.
     """
+    if method == "auto":
+        method = ("matmul"
+                  if boxes_norm.shape[0] * crop_size >= 256 else "gather")
+    if method == "matmul":
+        return crop_and_resize_matmul(image, boxes_norm, crop_size)
     h, w, c = image.shape
     ys = sample_grid(boxes_norm, h, boxes_norm[:, 0], boxes_norm[:, 2],
                      crop_size)

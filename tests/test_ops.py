@@ -165,6 +165,46 @@ def test_crop_and_resize_vs_numpy():
             np.testing.assert_allclose(out[k], want, atol=1e-4)
 
 
+def test_crop_and_resize_matmul_matches_gather():
+    """The interpolation-matmul form is the same operator as the gather
+    form (identical sample lattice, taps, and clamping)."""
+    rng = np.random.RandomState(7)
+    for c, s in ((1, 3), (4, 7), (32, 7)):
+        img = rng.rand(20, 30, c).astype(np.float32)
+        boxes = np.array([[0.1, 0.2, 0.6, 0.9],
+                          [0.0, 0.0, 0.3, 0.3],
+                          [0.5, 0.5, 1.0, 1.0],
+                          [0.42, 0.13, 0.44, 0.17],
+                          [-0.05, -0.05, 1.05, 1.08],
+                          [0.3, 0.3, 0.3, 0.3]], np.float32)
+        got = np.array(roi.crop_and_resize(
+            jnp.asarray(img), jnp.asarray(boxes), s, method="matmul"))
+        want = np.array(roi.crop_and_resize(
+            jnp.asarray(img), jnp.asarray(boxes), s, method="gather"))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_crop_and_resize_matmul_crop_size_1():
+    rng = np.random.RandomState(8)
+    img = rng.rand(12, 16, 2).astype(np.float32)
+    boxes = jnp.asarray(np.array([[0.2, 0.2, 0.7, 0.9]], np.float32))
+    got = np.array(roi.crop_and_resize(img, boxes, 1, method="matmul"))
+    want = np.array(roi.crop_and_resize(img, boxes, 1, method="gather"))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_crop_and_resize_auto_threshold():
+    """auto picks matmul at production batch sizes and stays numerically
+    interchangeable with the gather path there."""
+    rng = np.random.RandomState(9)
+    img = jnp.asarray(rng.rand(18, 24, 1).astype(np.float32))
+    boxes = jnp.asarray(rng.rand(300, 4).astype(np.float32))
+    boxes = jnp.sort(boxes.reshape(300, 2, 2), axis=1).reshape(300, 4)
+    auto = np.array(roi.crop_and_resize(img, boxes, 3))
+    gather = np.array(roi.crop_and_resize(img, boxes, 3, method="gather"))
+    np.testing.assert_allclose(auto, gather, atol=2e-5)
+
+
 # ---------------------------------------------------------------- correlation
 
 def np_correlation(a, b, max_d, s2=1):
