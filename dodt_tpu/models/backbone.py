@@ -88,6 +88,54 @@ def _zero_outside(y: jnp.ndarray, h0: int, h1: int, w0: int, w1: int,
     return yv.reshape(b, hb, wb, c4)
 
 
+class SubpixelConvTranspose(nn.Module):
+    """Exact TPU-native replacement for nn.ConvTranspose(3x3, stride 2,
+    SAME): the sub-pixel decomposition.
+
+    XLA lowers a stride-2 transposed conv to a conv over the
+    zero-dilated input — 9 taps per output pixel of which ~3/4 multiply
+    structural zeros. The same function is one dense 2x2 conv producing
+    the 4 output phases as channels, interleaved by depth-to-space:
+      y[2i+py, 2j+px] uses kernel taps k[py::?]:
+        phase (0,0): k[::2, ::2] on x[i-1..i, j-1..j]
+        phase (0,1): k[::2, 1]   on x[i-1..i, j]
+        phase (1,0): k[1, ::2]   on x[i,      j-1..j]
+        phase (1,1): k[1, 1]     on x[i, j]
+    (derived from lax.conv_transpose SAME alignment; pinned exactly by
+    tests/test_backbone.py against nn.ConvTranspose). Parameter names
+    and shapes match nn.ConvTranspose — checkpoints are interchangeable.
+    """
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ci = x.shape[-1]
+        co = self.features
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, ci, co), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (co,),
+                          jnp.float32)
+        k = k.astype(self.dtype)
+        # pack the 4 phases into a (2, 2, Ci, 4Co) kernel: phase order
+        # (py, px) row-major in the channel axis
+        k2 = jnp.zeros((2, 2, ci, 4 * co), self.dtype)
+        k2 = k2.at[:, :, :, 0 * co:1 * co].set(k[::2, ::2])
+        k2 = k2.at[:, 1, :, 1 * co:2 * co].set(k[::2, 1])
+        k2 = k2.at[1, :, :, 2 * co:3 * co].set(k[1, ::2])
+        k2 = k2.at[1, 1, :, 3 * co:4 * co].set(k[1, 1])
+        xp = jnp.pad(x.astype(self.dtype),
+                     ((0, 0), (1, 0), (1, 0), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b_, h, w, _ = y.shape
+        y = y.reshape(b_, h, w, 2, 2, co)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            b_, 2 * h, 2 * w, co)
+        return y + bias.astype(self.dtype)
+
+
 class VggPyramid(nn.Module):
     """Encoder-decoder pyramid tower; returns (B, H, W, conv1_ch).
 
@@ -174,9 +222,8 @@ class VggPyramid(nn.Module):
             return f
 
         def up(h, ch, name):
-            h = nn.ConvTranspose(ch, (3, 3), strides=(2, 2),
-                                 padding="SAME", dtype=self.dtype,
-                                 name=name)(h)
+            h = SubpixelConvTranspose(ch, dtype=self.dtype,
+                                      name=name)(h)
             h = _norm(ch, self.dtype, cfg.norm)(h)
             return nn.relu(h)
 

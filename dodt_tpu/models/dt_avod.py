@@ -412,8 +412,10 @@ class DtAvodNet(nn.Module):
             obj1 = self.rpn_cls(
                 rank_feats.reshape(b * f * n_anchors, -1),
                 False).reshape(b, f, n_anchors, 2)
-            s1 = jax.nn.softmax(obj1, axis=-1)[..., 1]
-            s1 = jnp.where(anchor_valid, s1, -1e9)
+            # rank by the logit margin: strictly monotonic in
+            # softmax[..., 1], skips a 90k-anchor exp/normalize
+            s1 = jnp.where(anchor_valid, obj1[..., 1] - obj1[..., 0],
+                           -1e9)
             _, cand_idx = jax.lax.approx_max_k(s1, k_fuse)   # (B,F,K)
             interest = cand_idx
 
@@ -722,8 +724,9 @@ class DtAvodNet(nn.Module):
                                  1.0, 0.0, m.rpn.fusion_method)
             obj1 = self.rpn_cls(pass1.reshape(b * n_anchors, -1),
                                 False).reshape(b, n_anchors, 2)
-            s1 = jax.nn.softmax(obj1, axis=-1)[..., 1]
-            s1 = jnp.where(anchor_valid, s1, -1e9)
+            # logit-margin ranking (monotonic in softmax[..., 1])
+            s1 = jnp.where(anchor_valid, obj1[..., 1] - obj1[..., 0],
+                           -1e9)
             _, cand_idx = jax.lax.approx_max_k(s1, k_fuse)   # (B, K)
             cand_valid = jnp.take_along_axis(anchor_valid, cand_idx,
                                              axis=1)

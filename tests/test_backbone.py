@@ -35,6 +35,26 @@ def test_s2d_kernel_matches_conv():
                                atol=1e-4)
 
 
+def test_subpixel_conv_transpose_exact():
+    """SubpixelConvTranspose == nn.ConvTranspose(3x3, s2, SAME) with the
+    same parameters (names and shapes interchangeable)."""
+    import flax.linen as nn
+    from dodt_tpu.models.backbone import SubpixelConvTranspose
+
+    rng = np.random.RandomState(3)
+    for h, w, ci, co in ((6, 5, 3, 4), (16, 24, 8, 16)):
+        x = jnp.asarray(rng.rand(2, h, w, ci).astype(np.float32))
+        ref = nn.ConvTranspose(co, (3, 3), strides=(2, 2),
+                               padding="SAME")
+        params = ref.init(jax.random.PRNGKey(0), x)
+        want = ref.apply(params, x)
+        ours = SubpixelConvTranspose(co, dtype=jnp.float32)
+        got = ours.apply(params, x)
+        assert got.shape == want.shape == (2, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(np.array(got), np.array(want),
+                                   atol=1e-5)
+
+
 def test_s2d_stem_exact_vs_standard():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.rand(1, 32, 40, 6).astype(np.float32))
