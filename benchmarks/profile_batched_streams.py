@@ -54,9 +54,26 @@ for nb in (1, 2, MAX_B):
         "orig_image_shape": jnp.asarray(
             np.repeat(base["orig_image_shape"], nb, 0)),
     }
+    # compile-time memory diagnosis (VERDICT r2 weak 6: B=4 negative
+    # scaling unexplained — look for temp-memory blowup / HBM pressure)
+    try:
+        lowered = enc.lower({"params": variables["params"]}, frame)
+        mem = lowered.compile().memory_analysis()
+        print(f"B={nb}: encode temp {mem.temp_size_in_bytes/2**20:.0f} "
+              f"MiB, args {mem.argument_size_in_bytes/2**20:.0f} MiB, "
+              f"output {mem.output_size_in_bytes/2**20:.0f} MiB",
+              flush=True)
+    except Exception as e:  # memory_analysis is backend-dependent
+        print(f"B={nb}: memory_analysis unavailable ({e})", flush=True)
     state = enc({"params": variables["params"]}, frame)
     out = pair({"params": variables["params"]}, state, state)
     device_sync(out["final_boxes_3d"])
+    dstats = jax.local_devices()[0].memory_stats() or {}
+    if "bytes_in_use" in dstats:
+        print(f"B={nb}: device bytes_in_use "
+              f"{dstats['bytes_in_use']/2**30:.2f} GiB "
+              f"(peak {dstats.get('peak_bytes_in_use', 0)/2**30:.2f})",
+              flush=True)
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
