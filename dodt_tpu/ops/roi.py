@@ -109,8 +109,12 @@ def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
       (N, S, S, C) crops.
     """
     if method == "auto":
-        method = ("matmul"
-                  if boxes_norm.shape[0] * crop_size >= 256 else "gather")
+        ns = boxes_norm.shape[0] * crop_size
+        # lower bound: gathers win for small crop batches (dispatch +
+        # matrix build overhead); upper bound: don't materialize
+        # (N*S, H)+(N*S, W) interpolation matrices for the 90k-anchor
+        # fallback path (the dense lattice covers that shape)
+        method = "matmul" if 256 <= ns <= 65536 else "gather"
     if method == "matmul":
         return crop_and_resize_matmul(image, boxes_norm, crop_size)
     h, w, c = image.shape
