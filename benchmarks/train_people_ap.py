@@ -26,8 +26,12 @@ STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 600
 EVAL_EVERY = STEPS // 3
 
 root = tempfile.mkdtemp(prefix="people_fix_")
+# 12 objects x 12 frames: the official 41-point threshold vector fills
+# one entry per TP, so each class needs >= 41 VALID moderate GT across
+# the eval keyframes (difficulty filters drop small/far boxes) for a
+# perfect detector to score AP 100 rather than an N_gt/41 ceiling
 synthetic.write_tracking_fixture(
-    root, num_videos=2, num_frames=10, ego_speed=0.3, num_cars=8,
+    root, num_videos=2, num_frames=12, ego_speed=0.3, num_cars=12,
     points_per_car=768, object_classes=("Pedestrian", "Cyclist"))
 cfg = cfg_mod.people_dt_tracking()
 cfg.dataset.dataset_dir = root
