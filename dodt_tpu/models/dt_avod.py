@@ -419,7 +419,11 @@ class DtAvodNet(nn.Module):
             _, cand_idx = jax.lax.approx_max_k(s1, k_fuse)   # (B,F,K)
             interest = cand_idx
 
-            sample_mb = train and "gt_boxes" in batch
+            # Gate on the loss-computation mode, not the dropout flag:
+            # the evaluator's val-health pass runs train-mode losses
+            # with dropout off (train=False, mode="train") and still
+            # needs the in-forward mini-batch on the two-pass route.
+            sample_mb = mode == "train" and "gt_boxes" in batch
             if sample_mb:
                 mbc = cfg.dataset.mini_batch
                 s_mb = mbc.rpn_mini_batch_size
@@ -963,7 +967,7 @@ def compute_losses(cfg: PipelineConfig, outputs: Dict[str, Any],
     else:
         assert outputs["objectness"].shape[2] == anchors.shape[1], (
             "compute_losses on two-pass candidate outputs requires the "
-            "in-forward mini-batch (train=True with gt in the batch)")
+            "in-forward mini-batch (mode='train' with gt in the batch)")
         rpn_cls, rpn_reg = jax.vmap(jax.vmap(
             rpn_loss_one,
             in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)),

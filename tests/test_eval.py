@@ -330,3 +330,19 @@ def test_val_health_and_batched_eval(tmp_path):
             np.testing.assert_allclose(
                 r2["ap"][metric][diff], r1["ap"][metric][diff],
                 atol=1e-6, err_msg=f"{metric}/{diff}")
+
+    # val_health must also work on the two-pass RPN route (production
+    # anchor counts activate it: fusion_top_k < n_anchors).  The
+    # mini-batch is sampled whenever mode=='train' carries gt — NOT
+    # gated on the dropout flag — so the train=False health pass still
+    # gets in-forward mini-batch losses (regression: real-data holdout
+    # eval crashed in compute_losses here).
+    cfg3 = cfg_mod.PipelineConfig.from_json(cfg.to_json())
+    cfg3.model.rpn.fusion_top_k = 64          # < tiny-grid anchor count
+    model3 = dt_avod.DtAvodNet(cfg=cfg3,
+                               cluster_sizes=((3.9, 1.6, 1.52),))
+    ev3 = Evaluator(cfg3, model3, ds, ckpt_dir=str(tmp_path / "ckpt"),
+                    output_dir=str(tmp_path / "eval_2pass"))
+    vh3 = ev3.val_health(ev3.ckpt.restore_params(1))
+    assert np.isfinite(vh3["val_losses"]["total"])
+    assert np.isfinite(vh3["val_losses"]["rpn_cls"])
