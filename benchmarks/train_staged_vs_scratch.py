@@ -33,7 +33,13 @@ CLUSTERS = ((3.9, 1.6, 1.52),)
 
 obj_root = tempfile.mkdtemp(prefix="staged_obj_")
 trk_root = tempfile.mkdtemp(prefix="staged_trk_")
-synthetic.write_detection_fixture(obj_root, num_frames=12)
+# The pretrain set is parameter-matched to the tracking fixture
+# (same car density / point density; different seeds): the reference's
+# staged flow pretrains on the same data distribution the DT stage
+# sees — a mismatched pretrain caps the transferred (frozen) detector
+# far below what the DT fixture supports.
+synthetic.write_detection_fixture(obj_root, num_frames=8, num_scenes=3,
+                                  num_cars=7, points_per_car=512)
 synthetic.write_tracking_fixture(trk_root, num_videos=2, num_frames=10,
                                  ego_speed=0.4, num_cars=7,
                                  points_per_car=512)
@@ -87,7 +93,8 @@ results = {
     "staged": run_dt("staged", True),
     "scratch": run_dt("scratch", False),
     "setup": f"single-frame pretrain {PRE_STEPS} steps on a synthetic "
-             f"detection fixture; DT staged (detector subtrees "
+             f"detection fixture parameter-matched to the tracking "
+             f"fixture; DT staged (detector subtrees "
              f"restored + frozen, corr branch trains) vs from-scratch, "
              f"{DT_STEPS} steps each on the tracking fixture",
 }

@@ -299,19 +299,48 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
 
 
 def write_detection_fixture(root: str, num_frames: int = 6,
-                            seed: int = 0) -> str:
+                            seed: int = 0, num_scenes: int = 1,
+                            num_cars: int = 4,
+                            points_per_car: int = 384,
+                            ground_points: int = 3000) -> str:
     """Write a synthetic single-frame KITTI *object* dataset under
-    `root` (velodyne/image_2/calib/label_2/planes + split txts)."""
+    `root` (velodyne/image_2/calib/label_2/planes + split txts).
+
+    `num_scenes` independent scenes each contribute `num_frames`
+    samples; the scene-statistics knobs (`num_cars`,
+    `points_per_car`, `ground_points`) mirror
+    `write_tracking_fixture` so a single-frame pretrain set can be
+    parameter-matched to a tracking fixture (the reference's staged
+    flow pretrains the detector on the SAME data distribution the DT
+    stage sees, trainer.py:64-183 — a mismatched pretrain caps the
+    transferred AP)."""
     import cv2
 
     base = os.path.join(root, "training")
     for sub in ("velodyne", "image_2", "calib", "label_2", "planes"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
 
-    scene = SyntheticScene(0, num_frames, seed=seed, ego_speed=0.0)
     names = []
+    for sid in range(num_scenes):
+        scene = SyntheticScene(sid, num_frames, seed=seed + sid,
+                               ego_speed=0.0, num_cars=num_cars,
+                               points_per_car=points_per_car,
+                               ground_points=ground_points)
+        _write_detection_scene(base, scene, num_frames,
+                               sid * num_frames, names)
+
+    for split in ("train", "val", "trainval", "test"):
+        with open(os.path.join(root, split + ".txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return root
+
+
+def _write_detection_scene(base, scene, num_frames, name_offset,
+                           names):
+    import cv2
+
     for frame in range(num_frames):
-        name = f"{frame:06d}"
+        name = f"{name_offset + frame:06d}"
         names.append(name)
         scene.point_cloud_at(frame).tofile(
             os.path.join(base, "velodyne", name + ".bin"))
@@ -340,8 +369,3 @@ def write_detection_fixture(root: str, num_frames: int = 6,
         with open(os.path.join(base, "label_2", name + ".txt"),
                   "w") as f:
             f.write("\n".join(lines) + "\n")
-
-    for split in ("train", "val", "trainval", "test"):
-        with open(os.path.join(root, split + ".txt"), "w") as f:
-            f.write("\n".join(names) + "\n")
-    return root
