@@ -92,6 +92,31 @@ def crop_and_resize_matmul(image: jnp.ndarray, boxes_norm: jnp.ndarray,
     return jnp.einsum("nywc,nxw->nyxc", rowred, cx)
 
 
+def auto_method(num_boxes: int, crop_size: int, image_shape,
+                itemsize: int) -> str:
+    """Static dispatch between the gather and matmul crop forms.
+
+    The matmul form materializes rowred (N, S, W, C); its cost scales
+    with C while the packed-gather path's per-access cost does not (C
+    rides along in the gathered vector). Measured on the v5e:
+    thin-channel pass-2 crops (8192x3x3 from the 1-channel ranking
+    bottleneck) run 1.7 -> 0.87 ms as matmuls, but the 32-channel
+    second-stage feature crops run 2.2 -> 8.0 ms, and at train shapes
+    (1024 proposals, batch 8) the rowred intermediate alone is
+    17.6 GB -> compile-time OOM. So: matmul only for thin maps, with a
+    rowred byte cap as the backstop (per vmap slice; batching
+    multiplies it). The ns lower bound keeps small crop batches on the
+    gather path (dispatch + matrix-build overhead); the ns upper bound
+    avoids (N*S, H)+(N*S, W) interpolation matrices on the 90k-anchor
+    fallback path (the dense lattice covers that shape).
+    """
+    h_, w_, c_ = image_shape
+    ns = num_boxes * crop_size
+    rowred_bytes = ns * w_ * c_ * itemsize
+    return ("matmul" if 256 <= ns <= 65536 and c_ <= 2
+            and rowred_bytes <= 128 * 1024 * 1024 else "gather")
+
+
 def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
                     crop_size: int, method: str = "auto") -> jnp.ndarray:
     """Bilinear crop-and-resize.
@@ -101,20 +126,17 @@ def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
       boxes_norm: (N, 4) normalized [y1, x1, y2, x2] in [0, 1].
       crop_size: static output side S.
       method: "auto" | "gather" | "matmul". "auto" picks the matmul form
-        when the crop batch is gather-dominated (N*S >= 256: both the
-        RPN pass-2 and the second-stage shapes), the packed-gather form
-        otherwise.
+        when the crop batch is gather-dominated AND the row-reduced
+        intermediate stays small (thin-channel maps: the RPN pass-2
+        1-channel bottleneck), the packed-gather form otherwise.
 
     Returns:
       (N, S, S, C) crops.
     """
     if method == "auto":
-        ns = boxes_norm.shape[0] * crop_size
-        # lower bound: gathers win for small crop batches (dispatch +
-        # matrix build overhead); upper bound: don't materialize
-        # (N*S, H)+(N*S, W) interpolation matrices for the 90k-anchor
-        # fallback path (the dense lattice covers that shape)
-        method = "matmul" if 256 <= ns <= 65536 else "gather"
+        method = auto_method(boxes_norm.shape[0], crop_size,
+                             image.shape,
+                             jnp.dtype(image.dtype).itemsize)
     if method == "matmul":
         return crop_and_resize_matmul(image, boxes_norm, crop_size)
     h, w, c = image.shape

@@ -205,6 +205,31 @@ def test_crop_and_resize_auto_threshold():
     np.testing.assert_allclose(auto, gather, atol=2e-5)
 
 
+def test_crop_auto_dispatch_production_shapes():
+    """Pin the auto gather/matmul decision at the shapes the model
+    actually runs (measured on the v5e — see roi.auto_method):
+
+    * RPN pass-2, 1-ch ranking bottleneck: matmul wins (1.7 -> 0.87 ms)
+    * second-stage 32-ch feature crops: matmul LOSES (2.2 -> 8.0 ms on
+      the eval path; at train B=8 its rowred intermediate is 17.6 GB ->
+      compile-time OOM), must stay on the gather path
+    * 90k-anchor fallback: gather (no giant interpolation matrices)
+    """
+    f32 = 4
+    # eval + train pass-2 (8192 candidates / +512 mini-batch), 180x600x1
+    assert roi.auto_method(8192, 3, (180, 600, 1), f32) == "matmul"
+    assert roi.auto_method(8704, 3, (180, 600, 1), f32) == "matmul"
+    # second stage: 300 (eval) / 1024 (train) proposals x 7x7 crops
+    # from the 32-ch image (180x600) and BEV (352x400) feature maps
+    assert roi.auto_method(300, 7, (180, 600, 32), f32) == "gather"
+    assert roi.auto_method(1024, 7, (180, 600, 32), f32) == "gather"
+    assert roi.auto_method(1024, 7, (352, 400, 32), f32) == "gather"
+    # 90k-anchor dense fallback
+    assert roi.auto_method(89600, 3, (352, 400, 1), f32) == "gather"
+    # tiny batches stay on gather (dispatch overhead)
+    assert roi.auto_method(8, 3, (180, 600, 1), f32) == "gather"
+
+
 # ---------------------------------------------------------------- correlation
 
 def np_correlation(a, b, max_d, s2=1):
