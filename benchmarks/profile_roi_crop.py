@@ -29,7 +29,7 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from dodt_tpu.ops import roi  # noqa: E402
+from dodt_tpu.ops import roi, roi_pallas  # noqa: E402
 from dodt_tpu.utils.metrics import device_sync  # noqa: E402
 
 
@@ -103,6 +103,12 @@ for name, (h, w, c), k, s, f in SHAPES:
             lambda im, bx: roi.crop_and_resize(im, bx, s,
                                                method="matmul"))),
     }
+    if h >= 64 and w >= 64:
+        # windowed Pallas form (ops/roi_pallas.py) — the model's eval
+        # dispatch for metric-bounded BEV maps
+        variants["window"] = jax.jit(jax.vmap(
+            lambda im, bx: roi_pallas.crop_and_resize_window(
+                im, bx, s, window=64).astype(jnp.float32)))
     row = {}
     for vname, fn in variants.items():
         if vname == "matmul" and k >= 1024 and c > 2:

@@ -45,7 +45,6 @@ cfg.dataset.max_points = 32768
 cfg.dataset.video_train_ids = (0,)
 
 ds = tracking.KittiTrackingDataset(cfg.dataset, split="train")
-model = dt_avod.DtAvodNet(cfg=cfg, cluster_sizes=((3.9, 1.6, 1.52),))
 key = jax.random.PRNGKey(0)
 
 # host load cost (per couple, single thread)
@@ -58,26 +57,39 @@ host_ms = (time.perf_counter() - t0) / n_load * 1000
 results = {"host_load_ms_per_couple": round(host_ms, 1), "batches": {}}
 print(f"host load: {host_ms:.1f} ms/couple (1 thread)")
 
-for log2 in range(0, MAX_LOG2 + 1):
-    b = 1 << log2
-    batch_np = ds.next_batch(b, shuffle=False, augment=False)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
-             if not isinstance(v, list)}
-    state = trainer_lib.create_train_state(cfg, model, batch, key)
-    step_fn = trainer_lib.make_train_step(cfg, model)
-    state, losses = step_fn(state, batch, key)     # compile
-    device_sync(losses["total"])
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, losses = step_fn(state, batch, key)
-    device_sync(losses["total"])
-    dt_ms = (time.perf_counter() - t0) / n * 1000
-    row = {"device_ms_per_step": round(dt_ms, 1),
-           "couples_per_s": round(b / dt_ms * 1000, 2)}
-    results["batches"][b] = row
-    print(f"B={b}: {row}", flush=True)
-    del state, losses
+# remat A/B: storing the towers' full-res activations for backward is
+# what drove the original superlinear scaling (B=1 105.9 -> B=4 710.3
+# ms/step, B=8 OOM); config.ModelConfig.remat_towers recomputes them
+for remat in (True, False):
+    cfg.model.remat_towers = remat
+    model = dt_avod.DtAvodNet(cfg=cfg, cluster_sizes=((3.9, 1.6, 1.52),))
+    tag = "remat" if remat else "store"
+    for log2 in range(0, MAX_LOG2 + 1):
+        b = 1 << log2
+        batch_np = ds.next_batch(b, shuffle=False, augment=False)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if not isinstance(v, list)}
+        try:
+            state = trainer_lib.create_train_state(cfg, model, batch, key)
+            step_fn = trainer_lib.make_train_step(cfg, model)
+            state, losses = step_fn(state, batch, key)     # compile
+            device_sync(losses["total"])
+        except Exception as e:  # noqa: BLE001 — record OOMs as data
+            results["batches"][f"{tag}_B{b}"] = {
+                "error": type(e).__name__}
+            print(f"{tag} B={b}: {type(e).__name__}", flush=True)
+            break
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, losses = step_fn(state, batch, key)
+        device_sync(losses["total"])
+        dt_ms = (time.perf_counter() - t0) / n * 1000
+        row = {"device_ms_per_step": round(dt_ms, 1),
+               "couples_per_s": round(b / dt_ms * 1000, 2)}
+        results["batches"][f"{tag}_B{b}"] = row
+        print(f"{tag} B={b}: {row}", flush=True)
+        del state, losses
 
 os.makedirs("results_r03", exist_ok=True)
 with open("results_r03/train_batched.json", "w") as f:

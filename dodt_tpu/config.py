@@ -141,6 +141,10 @@ class AvodConfig:
     fusion_type: str = "early"           # early | late | deep
     keep_prob: float = 0.5
     l2_weight_decay: float = 0.005
+    # eval-time windowed Pallas form for the second-stage BEV crops:
+    # exact for ROIs spanning <= window-2 px of the stride-2 BEV map
+    # (metric bound: cars + expand margin ~ 45 px). 0 = generic path.
+    bev_roi_window: int = 64
 
 
 @dataclass
@@ -170,6 +174,14 @@ class ModelConfig:
     eval_all_samples: bool = False
     # compute dtype for the conv towers ("bfloat16" or "float32")
     tower_dtype: str = "bfloat16"
+    # rematerialize tower activations in the backward pass
+    # (jax.checkpoint on the conv towers). The encoder/decoder's
+    # full-res intermediates dominate train-step HBM (421 MB per
+    # 128-ch img stage at B=8 couples); storing them drives the
+    # superlinear step-time growth past B=1 and the B=8 OOM
+    # (results_r03/train_batched.json). Recompute costs ~1/3 extra
+    # tower FLOPs, far under the spill traffic it removes.
+    remat_towers: bool = True
     # "fast" = parallel one-pass NMS (TPU-friendly, subset of greedy's
     # picks); "greedy" = exact sequential tf.image.non_max_suppression
     # "exact" = parallel fixpoint NMS with exact greedy semantics (the

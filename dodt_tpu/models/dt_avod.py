@@ -21,6 +21,7 @@ reference's offline .npy caches).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
@@ -44,6 +45,7 @@ from dodt_tpu.ops.projection import (project_to_bev,
                                      project_to_image_space,
                                      reorder_boxes_yx)
 from dodt_tpu.ops.roi import crop_and_resize
+from dodt_tpu.ops.roi_pallas import crop_and_resize_window
 from dodt_tpu.ops.voxel import bev_maps_from_points
 
 
@@ -167,6 +169,25 @@ ANGLE_SIZE = {"box_3d": 2, "box_8c": 0, "box_8co": 0,
               "box_4c": 0, "box_4ca": 2}
 
 
+def bev_crop_fn(crop_size: int, window: int, train: bool,
+                map_shape: Tuple[int, ...]):
+    """Second-stage BEV crop dispatch: the windowed Pallas form
+    (ops/roi_pallas.py) at eval on an accelerator — BEV proposals are
+    metric-bounded so every crop fits a static window — the general
+    (differentiable) gather form in training and on CPU tests."""
+    c = map_shape[2] if len(map_shape) > 2 else 1
+    use_window = (not train and window > 0
+                  and map_shape[0] >= window and map_shape[1] >= window
+                  # lane-alignment slack (roi_pallas.py): thin-channel
+                  # maps need too coarse an x origin to fit the window
+                  and 128 // math.gcd(c, 128) < window - crop_size
+                  and jax.default_backend() != "cpu")
+    if use_window:
+        return functools.partial(crop_and_resize_window,
+                                 crop_size=crop_size, window=window)
+    return functools.partial(crop_and_resize, crop_size=crop_size)
+
+
 def encode_proposals(rep: str, prop_boxes_3d, top_anchors, gp4):
     """Proposal encoding in the regression representation."""
     if rep in ("box_4c", "box_4ca"):
@@ -254,13 +275,17 @@ class DtAvodNet(nn.Module):
         m = self.cfg.model
         dtype = jnp.bfloat16 if m.tower_dtype == "bfloat16" else jnp.float32
         bev_h, _ = self.cfg.dataset.kitti_utils.bev_shape
-        self.bev_tower = VggPyramid(m.bev_extractor, dtype=dtype,
-                                    pad_rows=pad_rows_for_stride(bev_h),
-                                    name="bev_vgg_pyr")
+        # remat: tower-internal activations are recomputed in backward
+        # instead of stored (config.ModelConfig.remat_towers); identity
+        # for forward-only eval
+        Tower = nn.remat(VggPyramid) if m.remat_towers else VggPyramid
+        self.bev_tower = Tower(m.bev_extractor, dtype=dtype,
+                               pad_rows=pad_rows_for_stride(bev_h),
+                               name="bev_vgg_pyr")
         img_h = self.cfg.dataset.image_shape[0]
-        self.img_tower = VggPyramid(m.img_extractor, dtype=dtype,
-                                    pad_rows=pad_rows_for_stride(img_h),
-                                    name="img_vgg_pyr")
+        self.img_tower = Tower(m.img_extractor, dtype=dtype,
+                               pad_rows=pad_rows_for_stride(img_h),
+                               name="img_vgg_pyr")
         self.bev_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
                                          name="bev_bottleneck")
         self.img_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
@@ -571,7 +596,10 @@ class DtAvodNet(nn.Module):
 
         crop2 = functools.partial(crop_and_resize,
                                   crop_size=m.avod.proposal_roi_crop_size)
-        ss_bev_rois = jax.vmap(jax.vmap(crop2))(
+        bev_crop2 = bev_crop_fn(m.avod.proposal_roi_crop_size,
+                                m.avod.bev_roi_window, mode == "train",
+                                bev_feats_bf.shape[2:])
+        ss_bev_rois = jax.vmap(jax.vmap(bev_crop2))(
             bev_feats_bf, ss_bev_yx)                    # (B, F, K, 7, 7, C)
         ss_img_rois = jax.vmap(jax.vmap(crop2))(
             img_feats.reshape((b, f) + img_feats.shape[1:]), ss_img_yx)
@@ -814,7 +842,11 @@ class DtAvodNet(nn.Module):
             [state_a["bev_feats"], state_b["bev_feats"]], axis=1)
         img_feats_bf = jnp.stack(
             [state_a["img_feats"], state_b["img_feats"]], axis=1)
-        ss_bev_rois = jax.vmap(jax.vmap(crop2))(bev_feats_bf, ss_bev_yx)
+        bev_crop2 = bev_crop_fn(m.avod.proposal_roi_crop_size,
+                                m.avod.bev_roi_window, False,
+                                bev_feats_bf.shape[2:])
+        ss_bev_rois = jax.vmap(jax.vmap(bev_crop2))(bev_feats_bf,
+                                                    ss_bev_yx)
         ss_img_rois = jax.vmap(jax.vmap(crop2))(img_feats_bf, ss_img_yx)
 
         rep = m.avod.box_representation

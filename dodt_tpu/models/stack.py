@@ -29,7 +29,8 @@ import numpy as np
 from dodt_tpu.config import PipelineConfig
 from dodt_tpu.models.backbone import VggPyramid, preprocess_image
 from dodt_tpu.models.dt_avod import (Bottleneck, FcTrunk, MlpHead,
-                                     _path_drop_masks, _resize_to)
+                                     _path_drop_masks, _resize_to,
+                                     bev_crop_fn)
 from dodt_tpu.ops.dense_rpn import (build_bev_lattice, dense_bev_rois,
                                     dense_empty_anchor_mask)
 from dodt_tpu.ops import boxes as box_ops
@@ -84,12 +85,14 @@ class StackAvodNet(nn.Module):
         m = self.cfg.model
         dtype = jnp.bfloat16 if m.tower_dtype == "bfloat16" \
             else jnp.float32
-        self.bev_tower = VggPyramid(m.bev_extractor, dtype=dtype,
-                                    name="bev_vgg_pyr")
-        self.int_bev_tower = VggPyramid(m.bev_extractor, dtype=dtype,
-                                        name="int_bev_vgg_pyr")
-        self.img_tower = VggPyramid(m.img_extractor, dtype=dtype,
-                                    name="img_vgg_pyr")
+        # remat towers in training backward (see dt_avod.DtAvodNet.setup)
+        Tower = nn.remat(VggPyramid) if m.remat_towers else VggPyramid
+        self.bev_tower = Tower(m.bev_extractor, dtype=dtype,
+                               name="bev_vgg_pyr")
+        self.int_bev_tower = Tower(m.bev_extractor, dtype=dtype,
+                                   name="int_bev_vgg_pyr")
+        self.img_tower = Tower(m.img_extractor, dtype=dtype,
+                               name="img_vgg_pyr")
         self.bev_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
                                          name="int_bev_bottleneck")
         self.img_bottleneck = Bottleneck(m.rpn.bottleneck_channels,
@@ -237,8 +240,11 @@ class StackAvodNet(nn.Module):
                                   crop_size=m.avod.proposal_roi_crop_size)
         bev_feats_bf = bev_feats.reshape((b, f) + bev_feats.shape[1:])
         img_feats_bf = img_feats.reshape((b, f) + img_feats.shape[1:])
+        bev_crop2 = bev_crop_fn(m.avod.proposal_roi_crop_size,
+                                m.avod.bev_roi_window, mode == "train",
+                                bev_feats_bf.shape[2:])
         ss_bev_rois = jax.vmap(lambda fm, bx: jax.vmap(
-            lambda fm1: crop2(fm1, bx))(fm))(bev_feats_bf, ss_bev_yx)
+            lambda fm1: bev_crop2(fm1, bx))(fm))(bev_feats_bf, ss_bev_yx)
         ss_img_rois = jax.vmap(lambda fm, bx: jax.vmap(
             lambda fm1: crop2(fm1, bx))(fm))(img_feats_bf, ss_img_yx)
 

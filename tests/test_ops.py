@@ -230,6 +230,59 @@ def test_crop_auto_dispatch_production_shapes():
     assert roi.auto_method(8, 3, (180, 600, 1), f32) == "gather"
 
 
+def test_crop_and_resize_window_matches_gather():
+    """The windowed Pallas form is the same operator as the gather form
+    for every ROI whose sample span fits the window (the only shapes it
+    is dispatched for: metric-bounded second-stage BEV crops)."""
+    from dodt_tpu.ops import roi_pallas
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(96, 128, 32).astype(np.float32),
+                      jnp.bfloat16)
+    # spans <= 0.35 * dim < window - 2 pixels, incl. edge-touching and
+    # degenerate boxes
+    boxes = np.array([[0.1, 0.2, 0.4, 0.5],
+                      [0.0, 0.0, 0.3, 0.3],
+                      [0.7, 0.6, 1.0, 1.0],
+                      [0.42, 0.13, 0.44, 0.17],
+                      [0.3, 0.3, 0.3, 0.3],
+                      [0.95, 0.95, 1.05, 1.05],
+                      [-0.05, -0.05, 0.1, 0.1],
+                      [0.5, 0.5, 0.85, 0.82]], np.float32)
+    got = np.array(roi_pallas.crop_and_resize_window(
+        img, jnp.asarray(boxes), 7, window=64, interpret=True),
+        np.float32)
+    want = np.array(roi.crop_and_resize(img, jnp.asarray(boxes), 7,
+                                        method="gather"), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-2)
+
+
+def test_crop_and_resize_window_oversized_roi_clamps():
+    """ROIs wider than the window clamp their outermost samples to the
+    window edge (documented semantic); the result stays finite and the
+    in-window samples still agree with the gather path's lattice."""
+    from dodt_tpu.ops import roi_pallas
+    rng = np.random.RandomState(12)
+    img = jnp.asarray(rng.rand(96, 128, 4).astype(np.float32),
+                      jnp.bfloat16)
+    boxes = jnp.asarray(np.array([[0.0, 0.0, 1.0, 1.0]], np.float32))
+    got = np.array(roi_pallas.crop_and_resize_window(
+        img, boxes, 7, window=64, interpret=True), np.float32)
+    assert np.isfinite(got).all()
+    want = np.array(roi.crop_and_resize(img, boxes, 7,
+                                        method="gather"), np.float32)
+    # the first sample rows/cols start at the window origin -> exact
+    np.testing.assert_allclose(got[:, 0, 0], want[:, 0, 0], atol=1e-2)
+
+
+def test_crop_and_resize_window_rejects_small_maps():
+    from dodt_tpu.ops import roi_pallas
+    img = jnp.zeros((32, 32, 4), jnp.bfloat16)
+    boxes = jnp.zeros((2, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        roi_pallas.crop_and_resize_window(img, boxes, 7, window=64,
+                                          interpret=True)
+
+
 # ---------------------------------------------------------------- correlation
 
 def np_correlation(a, b, max_d, s2=1):
