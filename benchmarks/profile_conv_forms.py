@@ -167,6 +167,31 @@ def img_conv1_s2d(x, ka, kb):
 bench("img conv1 s2d @180x600", img_conv1_s2d, xi, ki_a, ki_b,
       flops=fli)
 
+# ---- batch scaling (the train sweep's superlinearity is forward-side:
+# couples/s degrades 8.5 -> 5.1 from B=1 to B=8 with OR without remat,
+# and the B=4 streams probe already showed negative inference scaling.
+# Localize which conv form loses per-sample throughput with batch; the
+# compile memory dump points at 4x lane-padding on 32-ch buffers) ----
+for B in (1, 2, 4, 8):
+    xb = rnd(B, h2, w2, 32)
+    bench(f"conv2 block B={B} (per-B ms)",
+          conv2_block, xb, k2a, k2b, flops=B * fl2)
+    results[f"conv2 block B={B} (per-B ms)"]["per_sample_ms"] = round(
+        results[f"conv2 block B={B} (per-B ms)"]["ms"] / B, 3)
+for B in (1, 2, 4, 8):
+    xb = rnd(B, h2, w2, 128)
+    bench(f"conv 128ch B={B}", conv2_wide, xb, k128a, flops=B * fl128)
+    results[f"conv 128ch B={B}"]["per_sample_ms"] = round(
+        results[f"conv 128ch B={B}"]["ms"] / B, 3)
+# batch folded into height: same conv math except at the B-1 seams;
+# if this restores linear scaling the fix is layout, not bandwidth
+for B in (2, 4, 8):
+    xb = rnd(1, B * h2, w2, 32)
+    bench(f"conv2 block B={B} folded-H", conv2_block, xb, k2a, k2b,
+          flops=B * fl2)
+    results[f"conv2 block B={B} folded-H"]["per_sample_ms"] = round(
+        results[f"conv2 block B={B} folded-H"]["ms"] / B, 3)
+
 os.makedirs("results_r03", exist_ok=True)
 with open("results_r03/conv_forms.json", "w") as f:
     json.dump(results, f, indent=2)

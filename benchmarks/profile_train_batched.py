@@ -57,6 +57,13 @@ host_ms = (time.perf_counter() - t0) / n_load * 1000
 results = {"host_load_ms_per_couple": round(host_ms, 1), "batches": {}}
 print(f"host load: {host_ms:.1f} ms/couple (1 thread)")
 
+
+def dump():  # incremental — remote-TPU compiles are slow enough that a
+    # wall-clock bound can cut the sweep; keep every finished row
+    os.makedirs("results_r03", exist_ok=True)
+    with open("results_r03/train_batched.json", "w") as f:
+        json.dump(results, f, indent=2)
+
 # remat A/B: storing the towers' full-res activations for backward is
 # what drove the original superlinear scaling (B=1 105.9 -> B=4 710.3
 # ms/step, B=8 OOM); config.ModelConfig.remat_towers recomputes them
@@ -78,6 +85,7 @@ for remat in (True, False):
             results["batches"][f"{tag}_B{b}"] = {
                 "error": type(e).__name__}
             print(f"{tag} B={b}: {type(e).__name__}", flush=True)
+            dump()
             break
         n = 10
         t0 = time.perf_counter()
@@ -89,9 +97,8 @@ for remat in (True, False):
                "couples_per_s": round(b / dt_ms * 1000, 2)}
         results["batches"][f"{tag}_B{b}"] = row
         print(f"{tag} B={b}: {row}", flush=True)
+        dump()
         del state, losses
 
-os.makedirs("results_r03", exist_ok=True)
-with open("results_r03/train_batched.json", "w") as f:
-    json.dump(results, f, indent=2)
+dump()
 print("wrote results_r03/train_batched.json")

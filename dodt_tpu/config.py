@@ -177,11 +177,13 @@ class ModelConfig:
     # rematerialize tower activations in the backward pass
     # (jax.checkpoint on the conv towers). The encoder/decoder's
     # full-res intermediates dominate train-step HBM (421 MB per
-    # 128-ch img stage at B=8 couples); storing them drives the
-    # superlinear step-time growth past B=1 and the B=8 OOM
-    # (results_r03/train_batched.json). Recompute costs ~1/3 extra
-    # tower FLOPs, far under the spill traffic it removes.
-    remat_towers: bool = True
+    # 128-ch img stage at B=8 couples); storing them OOMs the B=8
+    # compile, remat runs it at 1.58 s/step. At B<=4 the two forms are
+    # within ~10% (the superlinear per-couple cost there is a
+    # forward-pass conv-layout property, not activation storage —
+    # results_r03/train_batched.json), so the default stays off for
+    # the production B=1 config and batched runs opt in.
+    remat_towers: bool = False
     # "fast" = parallel one-pass NMS (TPU-friendly, subset of greedy's
     # picks); "greedy" = exact sequential tf.image.non_max_suppression
     # "exact" = parallel fixpoint NMS with exact greedy semantics (the

@@ -185,7 +185,8 @@ def bev_crop_fn(crop_size: int, window: int, train: bool,
     if use_window:
         return functools.partial(crop_and_resize_window,
                                  crop_size=crop_size, window=window)
-    return functools.partial(crop_and_resize, crop_size=crop_size)
+    return functools.partial(crop_and_resize, crop_size=crop_size,
+                             method="auto_train" if train else "auto")
 
 
 def encode_proposals(rep: str, prop_boxes_3d, top_anchors, gp4):
@@ -398,9 +399,14 @@ class DtAvodNet(nn.Module):
         fusion_div = img_mask + bev_mask               # (B,)
 
         # ---------------- RPN -------------------------------------------
+        # auto_train: gather forwards take the matmul form's
+        # scatter-free VJP (the gather transpose's scatter-adds were
+        # the superlinear backward term — results_r03/train_fwd_bwd.json)
+        crop_method = "auto_train" if mode == "train" else "auto"
         img_shapes = batch["orig_image_shape"].astype(jnp.float32)
         crop = functools.partial(crop_and_resize,
-                                 crop_size=m.rpn.proposal_roi_crop_size)
+                                 crop_size=m.rpn.proposal_roi_crop_size,
+                                 method=crop_method)
         # (B, F, N, s, s, C)
         if lattice is not None:
             bev_rois = jax.vmap(jax.vmap(
@@ -595,7 +601,8 @@ class DtAvodNet(nn.Module):
         ss_img_yx = reorder_boxes_yx(ss_img_norm)
 
         crop2 = functools.partial(crop_and_resize,
-                                  crop_size=m.avod.proposal_roi_crop_size)
+                                  crop_size=m.avod.proposal_roi_crop_size,
+                                  method=crop_method)
         bev_crop2 = bev_crop_fn(m.avod.proposal_roi_crop_size,
                                 m.avod.bev_roi_window, mode == "train",
                                 bev_feats_bf.shape[2:])

@@ -189,8 +189,11 @@ class StackAvodNet(nn.Module):
         img_shapes = batch["orig_image_shape"].astype(jnp.float32)
         _, img_norm = jax.vmap(project_to_image_space)(
             anchors, batch["p2"], img_shapes)
+        # scatter-free VJP on gather crops in training (see dt_avod)
+        crop_method = "auto_train" if mode == "train" else "auto"
         crop = functools.partial(crop_and_resize,
-                                 crop_size=m.rpn.proposal_roi_crop_size)
+                                 crop_size=m.rpn.proposal_roi_crop_size,
+                                 method=crop_method)
         if lattice is not None:
             bev_rois = jax.vmap(
                 lambda fm1: dense_bev_rois(fm1, lattice))(int_bottle)
@@ -237,7 +240,8 @@ class StackAvodNet(nn.Module):
         ss_img_yx = reorder_boxes_yx(ss_img_norm)
 
         crop2 = functools.partial(crop_and_resize,
-                                  crop_size=m.avod.proposal_roi_crop_size)
+                                  crop_size=m.avod.proposal_roi_crop_size,
+                                  method=crop_method)
         bev_feats_bf = bev_feats.reshape((b, f) + bev_feats.shape[1:])
         img_feats_bf = img_feats.reshape((b, f) + img_feats.shape[1:])
         bev_crop2 = bev_crop_fn(m.avod.proposal_roi_crop_size,

@@ -33,6 +33,9 @@ pre-clipped boxes, which is the only way the reference uses it).
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -117,6 +120,40 @@ def auto_method(num_boxes: int, crop_size: int, image_shape,
             and rowred_bytes <= 128 * 1024 * 1024 else "gather")
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _crop_gather_mmbwd(image, boxes_norm, crop_size):
+    """Gather-form forward with the matmul form's VJP.
+
+    The two forms are the same function (same sample lattice, same
+    clamping — pinned by tests/test_ops.py), so the matmul form's VJP
+    is a valid VJP for the gather forward.  The point: the gather's own
+    transpose is a scatter-add of (N, S, S, C) cotangents into the
+    feature map, and TPU scatters serialize — backward time per couple
+    GROWS with batch (64.6 -> 123.6 ms from B=1 to B=4,
+    results_r03/train_fwd_bwd.json) while every dense stage scales.
+    The matmul transpose is dF = sum_n Ry_n^T g_n Cx_n — MXU work —
+    and box gradients fall out of autodiff through the hat matrices
+    (the reference's tf.image.crop_and_resize also carries box
+    gradients, so they are kept, not stopped).
+    """
+    return _crop_gather(image, boxes_norm, crop_size)
+
+
+def _crop_gather_mmbwd_fwd(image, boxes_norm, crop_size):
+    return _crop_gather(image, boxes_norm, crop_size), (image, boxes_norm)
+
+
+def _crop_gather_mmbwd_bwd(crop_size, res, g):
+    image, boxes_norm = res
+    _, vjp = jax.vjp(
+        lambda im, bx: crop_and_resize_matmul(im, bx, crop_size),
+        image, boxes_norm)
+    return vjp(g.astype(image.dtype))
+
+
+_crop_gather_mmbwd.defvjp(_crop_gather_mmbwd_fwd, _crop_gather_mmbwd_bwd)
+
+
 def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
                     crop_size: int, method: str = "auto") -> jnp.ndarray:
     """Bilinear crop-and-resize.
@@ -125,20 +162,34 @@ def crop_and_resize(image: jnp.ndarray, boxes_norm: jnp.ndarray,
       image: (H, W, C) feature map.
       boxes_norm: (N, 4) normalized [y1, x1, y2, x2] in [0, 1].
       crop_size: static output side S.
-      method: "auto" | "gather" | "matmul". "auto" picks the matmul form
-        when the crop batch is gather-dominated AND the row-reduced
-        intermediate stays small (thin-channel maps: the RPN pass-2
-        1-channel bottleneck), the packed-gather form otherwise.
+      method: "auto" | "gather" | "matmul" | "gather_mmbwd". "auto"
+        picks the matmul form when the crop batch is gather-dominated
+        AND the row-reduced intermediate stays small (thin-channel
+        maps: the RPN pass-2 1-channel bottleneck), the packed-gather
+        form otherwise. "gather_mmbwd" is the gather forward with the
+        matmul form's scatter-free VJP — the training path's choice
+        for wide-channel maps.
 
     Returns:
       (N, S, S, C) crops.
     """
-    if method == "auto":
-        method = auto_method(boxes_norm.shape[0], crop_size,
+    if method in ("auto", "auto_train"):
+        picked = auto_method(boxes_norm.shape[0], crop_size,
                              image.shape,
                              jnp.dtype(image.dtype).itemsize)
+        # training path: gather forwards take the scatter-free VJP
+        # (the matmul form's backward is already matmuls)
+        method = ("gather_mmbwd" if method == "auto_train"
+                  and picked == "gather" else picked)
     if method == "matmul":
         return crop_and_resize_matmul(image, boxes_norm, crop_size)
+    if method == "gather_mmbwd":
+        return _crop_gather_mmbwd(image, boxes_norm, crop_size)
+    return _crop_gather(image, boxes_norm, crop_size)
+
+
+def _crop_gather(image: jnp.ndarray, boxes_norm: jnp.ndarray,
+                 crop_size: int) -> jnp.ndarray:
     h, w, c = image.shape
     ys = sample_grid(boxes_norm, h, boxes_norm[:, 0], boxes_norm[:, 2],
                      crop_size)

@@ -230,6 +230,59 @@ def test_crop_auto_dispatch_production_shapes():
     assert roi.auto_method(8, 3, (180, 600, 1), f32) == "gather"
 
 
+def test_crop_gather_mmbwd_vjp_matches_autodiff():
+    """The scatter-free custom VJP (matmul-form transpose) must agree
+    with plain autodiff through the gather path — both image and box
+    cotangents (the reference's tf.image.crop_and_resize carries box
+    gradients, so the training path keeps them)."""
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(24, 32, 5).astype(np.float32))
+    boxes = jnp.asarray(np.array([[0.1, 0.2, 0.5, 0.6],
+                                  [0.0, 0.0, 1.0, 1.0],
+                                  [0.33, 0.41, 0.35, 0.44]], np.float32))
+    g = jnp.asarray(rng.rand(3, 7, 7, 5).astype(np.float32))
+
+    def f_ref(im, bx):
+        return roi.crop_and_resize(im, bx, 7, method="gather")
+
+    def f_mm(im, bx):
+        return roi.crop_and_resize(im, bx, 7, method="gather_mmbwd")
+
+    out_ref, vjp_ref = jax.vjp(f_ref, img, boxes)
+    out_mm, vjp_mm = jax.vjp(f_mm, img, boxes)
+    np.testing.assert_allclose(np.array(out_mm), np.array(out_ref),
+                               rtol=1e-6, atol=1e-6)
+    di_ref, db_ref = vjp_ref(g)
+    di_mm, db_mm = vjp_mm(g)
+    np.testing.assert_allclose(np.array(di_mm), np.array(di_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.array(db_mm), np.array(db_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_crop_gather_mmbwd_vjp_under_vmap():
+    """vmapped custom VJP (the model applies it under two vmaps)."""
+    rng = np.random.RandomState(8)
+    imgs = jnp.asarray(rng.rand(2, 24, 32, 3).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.1, 0.5, (2, 4, 4)).astype(
+        np.float32))
+    boxes = boxes.at[..., 2:].add(0.3)
+
+    def loss(method):
+        def f(im, bx):
+            c = jax.vmap(lambda i, b: roi.crop_and_resize(
+                i, b, 3, method=method))(im, bx)
+            return (c ** 2).sum()
+        return jax.grad(f, argnums=(0, 1))(imgs, boxes)
+
+    di_ref, db_ref = loss("gather")
+    di_mm, db_mm = loss("gather_mmbwd")
+    np.testing.assert_allclose(np.array(di_mm), np.array(di_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.array(db_mm), np.array(db_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_crop_and_resize_window_matches_gather():
     """The windowed Pallas form is the same operator as the gather form
     for every ROI whose sample span fits the window (the only shapes it
