@@ -12,6 +12,14 @@ what-if variants:
   costs)
 * f32_glue — keep convs bf16 but run mask/relu glue in f32 (layout
   probe)
+* mask3d   — EXACT variant: `_zero_outside` as one multiply with a
+  precomputed (hb, wb, 4C) constant mask — no 6D reshapes, so no
+  sublane/lane relayout around the multiply
+* slicemax — EXACT variant: the phase max-pool as elementwise
+  `maximum` of the 4 contiguous C-lane channel groups instead of a
+  reshape-(2,2,C)-reduce (channel layout is phase-major, backbone
+  s2d_kernel_3x3)
+* exact_glue — mask3d + slicemax together (candidate production form)
 
 Run: python benchmarks/profile_stem_bisect.py  (TPU)
 Writes results_r03/stem_bisect.json.
@@ -44,7 +52,21 @@ x = jnp.asarray(x_np)
 params = jax.jit(tower.init)(jax.random.PRNGKey(0), x)["params"]
 
 
-def stem_prefix(p, xx, stop, mask=True, glue_dtype=None):
+def _mask3d(hb, wb, ch, h_in, w_in, orig):
+    """(hb, wb, 4C) 0/1 constant: original positions inside
+    [0, h_in) x [0, w_in), channel layout phase-major (ay, ax, c)."""
+    rm = np.zeros((hb, 2), np.float32)
+    pos = np.arange(hb * 2).reshape(hb, 2)
+    rm[:] = ((pos >= -orig) & (pos < h_in - orig))
+    cm = np.zeros((wb, 2), np.float32)
+    pos = np.arange(wb * 2).reshape(wb, 2)
+    cm[:] = ((pos >= -orig) & (pos < w_in - orig))
+    m = (rm[:, None, :, None, None] * cm[None, :, None, :, None])
+    return np.broadcast_to(m, (hb, wb, 2, 2, ch)).reshape(hb, wb, 4 * ch)
+
+
+def stem_prefix(p, xx, stop, mask=True, glue_dtype=None,
+                mask_form="6d", max_form="reshape"):
     """Replicates VggPyramid's use_s2d stem + conv2 block exactly
     (backbone.py:171-206)."""
     n, ch = fe.conv1
@@ -69,12 +91,23 @@ def stem_prefix(p, xx, stop, mask=True, glue_dtype=None):
             hs = hs.astype(glue_dtype)
         hs = jax.nn.relu(hs + jnp.tile(bias, 4).astype(hs.dtype))
         if i < n - 1 and mask:
-            hs = bb._zero_outside(hs, 0, h_in, 0, w_in, origin, origin)
+            if mask_form == "3d":
+                m = _mask3d(hs.shape[1], hs.shape[2], ch, h_in, w_in,
+                            origin)
+                hs = hs * jnp.asarray(m, hs.dtype)
+            else:
+                hs = bb._zero_outside(hs, 0, h_in, 0, w_in, origin,
+                                      origin)
         hs = hs.astype(DT)
         if stop == f"conv1_{i}":
             return hs
     bb_, hb, wb, _ = hs.shape
-    c1p = hs.reshape(bb_, hb, wb, 2, 2, ch).max(axis=(3, 4))
+    if max_form == "slices":
+        c1p = jnp.maximum(
+            jnp.maximum(hs[..., 0 * ch:1 * ch], hs[..., 1 * ch:2 * ch]),
+            jnp.maximum(hs[..., 2 * ch:3 * ch], hs[..., 3 * ch:4 * ch]))
+    else:
+        c1p = hs.reshape(bb_, hb, wb, 2, 2, ch).max(axis=(3, 4))
     if stop == "pool":
         return c1p
     h = c1p
@@ -122,6 +155,24 @@ fn_f32glue = jax.jit(functools.partial(stem_prefix, stop="conv2_1",
                                        glue_dtype=jnp.float32))
 results["f32glue_conv2_1"] = round(
     timeit("f32_glue", lambda: fn_f32glue(params, x)), 2)
+
+# exact variants (function-preserving rewrites of the glue ops)
+ref_out = np.asarray(
+    jax.jit(functools.partial(stem_prefix, stop="conv2_1"))(params, x),
+    np.float32)
+for name, kw in (("mask3d", {"mask_form": "3d"}),
+                 ("slicemax", {"max_form": "slices"}),
+                 ("exact_glue", {"mask_form": "3d",
+                                 "max_form": "slices"})):
+    fn_v = jax.jit(functools.partial(stem_prefix, stop="conv2_1", **kw))
+    var_out = np.asarray(fn_v(params, x), np.float32)
+    exact = bool(np.array_equal(ref_out, var_out))
+    results[f"{name}_conv2_1"] = {
+        "ms": round(timeit(name, lambda fn_v=fn_v: fn_v(params, x)), 2),
+        "bit_exact_vs_default": exact}
+    if not exact:
+        print(f"  !! {name} NOT bit-exact "
+              f"(max |d| {np.abs(ref_out - var_out).max():.3e})")
 
 os.makedirs("results_r03", exist_ok=True)
 with open("results_r03/stem_bisect.json", "w") as f:
