@@ -20,7 +20,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from dodt_tpu.utils.np_iou import three_d_iou
+from dodt_tpu.utils.np_iou import three_d_iou_matrix
 
 
 def _propagated(box_3d: np.ndarray, offsets,
@@ -77,9 +77,17 @@ def track_through_ious(dets_per_frame: List[List[Dict]],
             frame_num < len(frame_gaps) else None
         dets = list(frame_dets)
         updated = []
-        for track in tracks_active:
-            matched = False
-            if dets:
+        n_dets = len(dets)
+        if n_dets and tracks_active:
+            # one tracks x dets IoU matrix per frame (matrix-batched
+            # exact clip in np_iou); the greedy best-match pop below
+            # is reproduced by masking consumed columns — argmax order
+            # over the unconsumed set is identical to list.pop's
+            det_boxes = np.stack([
+                d["box_aligned"] if d.get("box_aligned")
+                is not None else d["box_3d"] for d in dets])
+            props = []
+            for track in tracks_active:
                 last = track["trajectory"][-1]
                 span = last.get("offsets_span") or gap
                 # with ttl>1 a track may have skipped frames since its
@@ -89,15 +97,18 @@ def track_through_ious(dets_per_frame: List[List[Dict]],
                     gap + track.get("pending_gap", 0)
                 scale = 1.0 if eff_gap is None or not span \
                     else eff_gap / span
-                prop = _propagated(last["box_3d"], last.get("offsets"),
-                                   scale)
-                ious = three_d_iou(
-                    prop, np.stack([
-                        d["box_aligned"] if d.get("box_aligned")
-                        is not None else d["box_3d"] for d in dets]))
+                props.append(_propagated(last["box_3d"],
+                                         last.get("offsets"), scale))
+            iou_mat = three_d_iou_matrix(np.stack(props), det_boxes)
+        consumed = np.zeros(n_dets, dtype=bool)
+        for ti, track in enumerate(tracks_active):
+            matched = False
+            if n_dets and not consumed.all():
+                ious = np.where(consumed, -1.0, iou_mat[ti])
                 best = int(np.argmax(ious))
                 if ious[best] > iou_threshold:
-                    det = dets.pop(best)
+                    consumed[best] = True
+                    det = dets[best]
                     track["trajectory"].append(det)
                     track["frames"].append(frame_num)
                     track["max_score"] = max(track["max_score"],
@@ -119,7 +130,9 @@ def track_through_ious(dets_per_frame: List[List[Dict]],
 
         new_tracks = [{"trajectory": [det], "max_score": det["score"],
                        "start_frame": frame_num, "frames": [frame_num],
-                       "miss": 0} for det in dets]
+                       "miss": 0}
+                      for di, det in enumerate(dets)
+                      if not consumed[di]]
         tracks_active = updated + new_tracks
 
     tracks_finished += [t for t in tracks_active

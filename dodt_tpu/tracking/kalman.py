@@ -13,7 +13,7 @@ from typing import Dict, List
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from dodt_tpu.utils.np_iou import three_d_iou
+from dodt_tpu.utils.np_iou import three_d_iou_matrix
 
 
 class KalmanBoxTracker:
@@ -77,10 +77,7 @@ def assign_detections_to_trackers(trackers: List[np.ndarray],
     """Hungarian assignment on 3D IoU (kf_tracking.py:281)."""
     if not trackers or not detections:
         return [], list(range(len(trackers))), list(range(len(detections)))
-    iou = np.zeros((len(trackers), len(detections)))
-    det_arr = np.stack(detections)
-    for t, trk in enumerate(trackers):
-        iou[t] = three_d_iou(trk, det_arr)
+    iou = three_d_iou_matrix(np.stack(trackers), np.stack(detections))
     rows, cols = linear_sum_assignment(-iou)
     matches, un_t, un_d = [], [], []
     matched_t, matched_d = set(), set()

@@ -57,42 +57,185 @@ def rect_intersection_area(box_a, box_b) -> float:
     return _poly_area(poly)
 
 
+def _rect_corners_batch(boxes):
+    """(M, 5) [x, z, l, w, ry] -> (M, 4, 2) corners (same vertex order
+    as `_rect_corners`)."""
+    x, z, l, w, ry = (boxes[:, i] for i in range(5))
+    c, s = np.cos(ry), np.sin(ry)
+    xc = np.array([1.0, 1.0, -1.0, -1.0]) / 2.0
+    zc = np.array([1.0, -1.0, -1.0, 1.0]) / 2.0
+    lx = l[:, None] * xc
+    wz = w[:, None] * zc
+    return np.stack([c[:, None] * lx + s[:, None] * wz + x[:, None],
+                     -s[:, None] * lx + c[:, None] * wz + z[:, None]],
+                    axis=2)
+
+
+def _clip_polys_batch(V, n, a, b):
+    """Sutherland-Hodgman step for a BATCH of polygons against one
+    half-plane each (left of a->b). V (M, K, 2) vertex buffers, n (M,)
+    live vertex counts, a/b (M, 2). Returns (V', n') with K' = 2K slots
+    (each input vertex can emit itself + one intersection — the exact
+    emission rule of `_clip_poly`, vectorized)."""
+    m, k, _ = V.shape
+    idx = np.arange(k)
+    live = idx[None, :] < n[:, None]                        # (M, K)
+    nxt_i = idx[None, :] + 1
+    nxt_i = np.where(nxt_i < n[:, None], nxt_i, 0)
+    nxt = np.take_along_axis(V, nxt_i[:, :, None], axis=1)  # wraps
+    e = b - a                                               # (M, 2)
+    d_cur = (e[:, None, 0] * (V[:, :, 1] - a[:, None, 1]) -
+             e[:, None, 1] * (V[:, :, 0] - a[:, None, 0]))
+    d_nxt = (e[:, None, 0] * (nxt[:, :, 1] - a[:, None, 1]) -
+             e[:, None, 1] * (nxt[:, :, 0] - a[:, None, 0]))
+    keep = (d_cur >= 0) & live
+    cross = (((d_cur > 0) != (d_nxt > 0)) &
+             ((d_cur < 0) | (d_nxt < 0)) & live)
+    denom = d_cur - d_nxt
+    t = d_cur / np.where(denom == 0.0, 1.0, denom)
+    inter = V + t[:, :, None] * (nxt - V)
+    # interleave: slot 2i = kept vertex i, slot 2i+1 = its intersection
+    out = np.empty((m, 2 * k, 2))
+    out[:, 0::2] = V
+    out[:, 1::2] = inter
+    mask = np.empty((m, 2 * k), dtype=bool)
+    mask[:, 0::2] = keep
+    mask[:, 1::2] = cross
+    # stable-compact kept slots to the front, preserving ring order
+    order = np.argsort(~mask, axis=1, kind="stable")
+    out = np.take_along_axis(out, order[:, :, None], axis=1)
+    return out, mask.sum(axis=1)
+
+
+def _poly_areas_batch(V, n):
+    """Shoelace over (M, K, 2) buffers with (M,) live counts."""
+    m, k, _ = V.shape
+    idx = np.arange(k)
+    live = idx[None, :] < n[:, None]
+    nxt_i = np.where(idx[None, :] + 1 < n[:, None], idx[None, :] + 1, 0)
+    nxt = np.take_along_axis(V, nxt_i[:, :, None], axis=1)
+    term = V[:, :, 0] * nxt[:, :, 1] - V[:, :, 1] * nxt[:, :, 0]
+    area = 0.5 * np.abs(np.sum(np.where(live, term, 0.0), axis=1))
+    return np.where(n >= 3, area, 0.0)
+
+
+def _aabb_half_extents(boxes5):
+    """(P, 5) -> (P,) x and (P,) z half-extents of the rotated rects'
+    axis-aligned bounding boxes: (|l c| + |w s|) / 2 etc."""
+    c, s = np.cos(boxes5[:, 4]), np.sin(boxes5[:, 4])
+    hx = (np.abs(boxes5[:, 2] * c) + np.abs(boxes5[:, 3] * s)) / 2.0
+    hz = (np.abs(boxes5[:, 2] * s) + np.abs(boxes5[:, 3] * c)) / 2.0
+    return hx, hz
+
+
+def rect_intersection_pairs(a5, b5) -> np.ndarray:
+    """Pairwise exact rotated-rect intersection: a5 (P, 5) vs b5
+    (P, 5) -> (P,) areas (row i of a against row i of b).
+
+    Same clip semantics as the scalar `rect_intersection_area`,
+    vectorized over P, with an exact AABB prescreen (an axis-aligned
+    bounding-box miss implies zero intersection) so the polygon clip
+    only runs on geometrically plausible pairs — the host tracker's
+    track x detection products are mostly far apart."""
+    a5 = np.atleast_2d(a5).astype(np.float64)
+    b5 = np.atleast_2d(b5).astype(np.float64)
+    p = len(a5)
+    out = np.zeros(p)
+    hx_a, hz_a = _aabb_half_extents(a5)
+    hx_b, hz_b = _aabb_half_extents(b5)
+    cand = ((np.abs(b5[:, 0] - a5[:, 0]) <= hx_a + hx_b) &
+            (np.abs(b5[:, 1] - a5[:, 1]) <= hz_a + hz_b))
+    if not cand.any():
+        return out
+    asel, bsel = a5[cand], b5[cand]
+    pb = _rect_corners_batch(bsel)                          # (C, 4, 2)
+    flip = _signed_areas_batch(pb) < 0
+    pb[flip] = pb[flip, ::-1]
+    V = _rect_corners_batch(asel)                           # (C, 4, 2)
+    n = np.full(len(asel), 4)
+    for i in range(4):
+        V, n = _clip_polys_batch(V, n, pb[:, i],
+                                 pb[:, (i + 1) % 4])
+        V = V[:, :max(4, int(n.max()))]   # <=8 real vertices ever
+    out[cand] = _poly_areas_batch(V, n)
+    return out
+
+
+def rect_intersection_areas(box_a, boxes_b) -> np.ndarray:
+    """box_a (5,) against every row of boxes_b (M, 5) -> (M,)."""
+    boxes_b = np.atleast_2d(boxes_b)
+    a5 = np.broadcast_to(np.asarray(box_a, np.float64),
+                         (len(boxes_b), 5))
+    return rect_intersection_pairs(a5, boxes_b)
+
+
+def _signed_areas_batch(pts):
+    """(M, V, 2) -> (M,) signed areas."""
+    x, z = pts[:, :, 0], pts[:, :, 1]
+    xn, zn = np.roll(x, -1, axis=1), np.roll(z, -1, axis=1)
+    return 0.5 * np.sum(x * zn - z * xn, axis=1)
+
+
 def _signed_area(pts):
     x, z = pts[:, 0], pts[:, 1]
     return 0.5 * (np.dot(x, np.roll(z, -1)) - np.dot(z, np.roll(x, -1)))
 
 
 def rotated_iou(box_a, boxes_b) -> np.ndarray:
-    """box_a (5,) [x, z, l, w, ry] vs boxes_b (M, 5) -> (M,) IoU."""
+    """box_a (5,) [x, z, l, w, ry] vs boxes_b (M, 5) -> (M,) IoU.
+
+    Batched exact clip (`rect_intersection_areas`) — the per-pair
+    Python polygon loop was the host tracker's bottleneck (~290 us a
+    pair; the reference's tracking-only rate is 76.9 fps, README:271)."""
     boxes_b = np.atleast_2d(boxes_b)
-    out = np.zeros(len(boxes_b))
-    area_a = box_a[2] * box_a[3]
-    for j, bb in enumerate(boxes_b):
-        inter = rect_intersection_area(box_a, bb)
-        union = area_a + bb[2] * bb[3] - inter
-        out[j] = inter / union if union > 0 else 0.0
-    return out
+    inter = rect_intersection_areas(box_a, boxes_b)
+    union = box_a[2] * box_a[3] + boxes_b[:, 2] * boxes_b[:, 3] - inter
+    return np.where(union > 0, inter / union, 0.0)
 
 
 def three_d_iou(box_a, boxes_b) -> np.ndarray:
     """box_3d (7,) [x, y, z, l, w, h, ry] vs (M, 7) -> (M,) 3D IoU.
 
     Height overlap x rotated footprint (reference three_d_iou:44,
-    camera frame: box spans y in [y - h, y])."""
+    camera frame: box spans y in [y - h, y]); footprint intersection
+    via the batched exact clip."""
     boxes_b = np.atleast_2d(boxes_b)
-    bev_a = box_a[[0, 2, 3, 4, 6]]
-    bev_b = boxes_b[:, [0, 2, 3, 4, 6]]
-    out = np.zeros(len(boxes_b))
+    inter2d = rect_intersection_areas(box_a[[0, 2, 3, 4, 6]],
+                                      boxes_b[:, [0, 2, 3, 4, 6]])
+    h_ov = np.maximum(
+        0.0, np.minimum(box_a[1], boxes_b[:, 1]) -
+        np.maximum(box_a[1] - box_a[5], boxes_b[:, 1] - boxes_b[:, 5]))
+    inter = inter2d * h_ov
     vol_a = box_a[3] * box_a[4] * box_a[5]
-    for j in range(len(boxes_b)):
-        inter2d = rect_intersection_area(bev_a, bev_b[j])
-        h_ov = max(0.0, min(box_a[1], boxes_b[j, 1]) -
-                   max(box_a[1] - box_a[5], boxes_b[j, 1] - boxes_b[j, 5]))
-        inter = inter2d * h_ov
-        vol_b = boxes_b[j, 3] * boxes_b[j, 4] * boxes_b[j, 5]
-        union = vol_a + vol_b - inter
-        out[j] = inter / union if union > 0 else 0.0
-    return out
+    vol_b = boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5]
+    union = vol_a + vol_b - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def three_d_iou_matrix(boxes_a, boxes_b) -> np.ndarray:
+    """(T, 7) x (D, 7) -> (T, D) 3D IoU in ONE pairwise clip sweep.
+
+    The trackers need a full track x detection matrix every frame;
+    per-row calls pay numpy dispatch overhead T times on tiny
+    candidate sets, so the T*D pairs are flattened into one
+    `rect_intersection_pairs` call (the AABB prescreen discards the
+    far-apart majority before any polygon work)."""
+    boxes_a = np.atleast_2d(boxes_a).astype(np.float64)
+    boxes_b = np.atleast_2d(boxes_b).astype(np.float64)
+    t, d = len(boxes_a), len(boxes_b)
+    if t == 0 or d == 0:
+        return np.zeros((t, d))
+    pa = np.repeat(boxes_a, d, axis=0)                   # (T*D, 7)
+    pb = np.tile(boxes_b, (t, 1))                        # (T*D, 7)
+    inter2d = rect_intersection_pairs(pa[:, [0, 2, 3, 4, 6]],
+                                      pb[:, [0, 2, 3, 4, 6]])
+    h_ov = np.maximum(
+        0.0, np.minimum(pa[:, 1], pb[:, 1]) -
+        np.maximum(pa[:, 1] - pa[:, 5], pb[:, 1] - pb[:, 5]))
+    inter = inter2d * h_ov
+    union = (pa[:, 3] * pa[:, 4] * pa[:, 5] +
+             pb[:, 3] * pb[:, 4] * pb[:, 5] - inter)
+    return np.where(union > 0, inter / union, 0.0).reshape(t, d)
 
 
 def box_3d_corners(box_3d: np.ndarray) -> np.ndarray:

@@ -110,3 +110,34 @@ def test_iou_3d_identical():
     a = jnp.array([[1.0, 1.5, 20.0, 3.9, 1.6, 1.5, -0.4]])
     np.testing.assert_allclose(
         np.array(iou.iou_3d_matrix(a, a))[0, 0], 1.0, atol=1e-5)
+
+
+def test_np_iou_batched_matches_scalar_fuzz():
+    """The vectorized host clip (np_iou.rect_intersection_areas) is the
+    scalar Sutherland-Hodgman per pair; fuzz pins exact agreement,
+    including touching/contained/disjoint and degenerate-angle pairs."""
+    from dodt_tpu.utils import np_iou
+    rng = np.random.RandomState(7)
+    a5 = np.stack([rng.uniform(-10, 10, 64), rng.uniform(-10, 10, 64),
+                   rng.uniform(0.5, 6, 64), rng.uniform(0.5, 4, 64),
+                   rng.uniform(-np.pi, np.pi, 64)], axis=1)
+    b5 = a5[rng.permutation(64)] + rng.normal(0, 2.0, (64, 5))
+    b5[:8] = a5[:8]                       # identical pairs
+    b5[8:12, :2] = a5[8:12, :2] + 100.0   # far-disjoint pairs
+    b5[12:16, 4] = 0.0                    # axis-aligned
+    for i in range(64):
+        batched = np_iou.rect_intersection_areas(a5[i], b5)
+        for j in range(0, 64, 7):
+            scalar = np_iou.rect_intersection_area(a5[i], b5[j])
+            np.testing.assert_allclose(batched[j], scalar, atol=1e-9,
+                                       err_msg=f"pair {i},{j}")
+
+
+def test_np_three_d_iou_values():
+    from dodt_tpu.utils import np_iou
+    a = np.array([0.0, 1.0, 10.0, 4.0, 2.0, 2.0, 0.3])
+    b = np.array([[0.0, 0.0, 10.0, 4.0, 2.0, 2.0, 0.3],   # half-h overlap
+                  [0.0, 1.0, 10.0, 4.0, 2.0, 2.0, 0.3],   # identical
+                  [50.0, 1.0, 10.0, 4.0, 2.0, 2.0, 0.3]])  # disjoint
+    out = np_iou.three_d_iou(a, b)
+    np.testing.assert_allclose(out, [8.0 / 24.0, 1.0, 0.0], atol=1e-9)
