@@ -18,6 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# XLA CPU compiles of the same jit signatures run-over-run; the cache
+# is keyed on HLO + compile options, so correctness is unaffected.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join("/tmp", "dodt_tpu_xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
