@@ -30,8 +30,9 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from dodt_tpu.data.kitti import LabelArray
-from dodt_tpu.utils.np_iou import (aligned_iou_2d, rotated_iou,
-                                   three_d_iou)
+from dodt_tpu.utils.np_iou import (aligned_iou_2d_matrix,
+                                   rotated_iou_matrix,
+                                   three_d_iou_matrix)
 
 N_SAMPLE_PTS = 41
 
@@ -118,20 +119,17 @@ def _classify_det(det: FrameDet, current_class: str, difficulty: int):
 
 
 def _overlap(metric: str, det: FrameDet, gt: FrameGt) -> np.ndarray:
-    """(n_det, n_gt) IoU matrix for the chosen metric."""
+    """(n_det, n_gt) IoU matrix for the chosen metric — one pairwise
+    matrix sweep (np_iou), not a per-detection row loop."""
     nd, ng = len(det.boxes_3d), len(gt.boxes_3d)
-    iou = np.zeros((nd, ng))
-    for i in range(nd):
-        if metric == "image":
-            iou[i] = aligned_iou_2d(det.bbox_2d[i], gt.bbox_2d) \
-                if ng else []
-        elif metric == "ground":
-            iou[i] = rotated_iou(det.boxes_3d[i][[0, 2, 3, 4, 6]],
-                                 gt.boxes_3d[:, [0, 2, 3, 4, 6]]) \
-                if ng else []
-        else:  # 3d
-            iou[i] = three_d_iou(det.boxes_3d[i], gt.boxes_3d) if ng else []
-    return iou
+    if nd == 0 or ng == 0:
+        return np.zeros((nd, ng))
+    if metric == "image":
+        return aligned_iou_2d_matrix(det.bbox_2d, gt.bbox_2d)
+    if metric == "ground":
+        return rotated_iou_matrix(det.boxes_3d[:, [0, 2, 3, 4, 6]],
+                                  gt.boxes_3d[:, [0, 2, 3, 4, 6]])
+    return three_d_iou_matrix(det.boxes_3d, gt.boxes_3d)
 
 
 _NO_DETECTION = -10000000.0

@@ -238,6 +238,39 @@ def three_d_iou_matrix(boxes_a, boxes_b) -> np.ndarray:
     return np.where(union > 0, inter / union, 0.0).reshape(t, d)
 
 
+def rotated_iou_matrix(boxes_a, boxes_b) -> np.ndarray:
+    """(T, 5) x (D, 5) BEV rotated IoU -> (T, D) in one pairwise
+    sweep (same flattening as `three_d_iou_matrix`)."""
+    boxes_a = np.atleast_2d(boxes_a).astype(np.float64)
+    boxes_b = np.atleast_2d(boxes_b).astype(np.float64)
+    t, d = len(boxes_a), len(boxes_b)
+    if t == 0 or d == 0:
+        return np.zeros((t, d))
+    pa = np.repeat(boxes_a, d, axis=0)
+    pb = np.tile(boxes_b, (t, 1))
+    inter = rect_intersection_pairs(pa, pb)
+    union = pa[:, 2] * pa[:, 3] + pb[:, 2] * pb[:, 3] - inter
+    return np.where(union > 0, inter / union, 0.0).reshape(t, d)
+
+
+def aligned_iou_2d_matrix(boxes_a, boxes_b) -> np.ndarray:
+    """[x1, y1, x2, y2] (T, 4) x (D, 4) -> (T, D), broadcast form."""
+    boxes_a = np.atleast_2d(boxes_a).astype(np.float64)
+    boxes_b = np.atleast_2d(boxes_b).astype(np.float64)
+    if len(boxes_a) == 0 or len(boxes_b) == 0:
+        return np.zeros((len(boxes_a), len(boxes_b)))
+    a, b = boxes_a[:, None], boxes_b[None, :]
+    x1 = np.maximum(a[..., 0], b[..., 0])
+    y1 = np.maximum(a[..., 1], b[..., 1])
+    x2 = np.minimum(a[..., 2], b[..., 2])
+    y2 = np.minimum(a[..., 3], b[..., 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = area_a + area_b - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
 def box_3d_corners(box_3d: np.ndarray) -> np.ndarray:
     """box_3d (7,) -> (8, 3) corners, numpy (host-side twin of
     ops/boxes.box_3d_to_corners; bottom face first)."""
