@@ -17,35 +17,45 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from dodt_tpu.utils.np_iou import three_d_iou
+from dodt_tpu.utils.np_iou import three_d_iou_matrix
 
 
 def match_pairs(dets0: List[Dict], dets1: List[Dict]):
     """Greedy best-IoU matching of frame-0 dets (offset-propagated)
     against frame-1 dets. Returns list of (det0 | None, det1 | None)."""
     pairs = []
-    unmatched1 = list(range(len(dets1)))
-    for det0 in dets0:
-        best_j, best_iou = None, 0.0
-        if unmatched1:
+    n1 = len(dets1)
+    consumed = np.zeros(n1, dtype=bool)
+    if dets0 and n1:
+        # one props x dets1 matrix (matrix-batched exact clip); greedy
+        # pops reproduced by masking consumed columns, as in
+        # iou_tracker.track_through_ious
+        props = []
+        for det0 in dets0:
             prop = np.array(det0["box_3d"], np.float64)
             off = det0.get("offsets")
             if off is not None:
                 prop[0] += off[0]
                 prop[2] += off[1]
                 prop[6] += off[2]
-            cand = np.stack([dets1[j]["box_3d"] for j in unmatched1])
-            ious = three_d_iou(prop, cand)
+            props.append(prop)
+        iou_mat = three_d_iou_matrix(
+            np.stack(props), np.stack([d["box_3d"] for d in dets1]))
+    for i, det0 in enumerate(dets0):
+        best_j = None
+        if n1 and not consumed.all():
+            ious = np.where(consumed, -1.0, iou_mat[i])
             k = int(np.argmax(ious))
             if ious[k] > 0:
-                best_j, best_iou = unmatched1[k], ious[k]
+                best_j = k
         if best_j is not None:
+            consumed[best_j] = True
             pairs.append((det0, dets1[best_j]))
-            unmatched1.remove(best_j)
         else:
             pairs.append((det0, None))
-    for j in unmatched1:
-        pairs.append((None, dets1[j]))
+    for j in range(n1):
+        if not consumed[j]:
+            pairs.append((None, dets1[j]))
     return pairs
 
 
