@@ -140,7 +140,7 @@ class Evaluator:
         """Per-checkpoint val losses + RPN proposal recall (BEV rotated
         IoU of top proposals vs GT at 0.3/0.5)."""
         from dodt_tpu.ops import boxes as box_ops
-        from dodt_tpu.utils.np_iou import rotated_iou
+        from dodt_tpu.utils.np_iou import rotated_iou_matrix
 
         fn = self._val_health_apply()
         rng = jax.random.PRNGKey(0)
@@ -170,15 +170,14 @@ class Evaluator:
             for b, sample in enumerate(samples):
                 props = props_all[b, 0][np.asarray(top_valid)[b, 0]]
                 gt = sample["gt_boxes"][0][sample["gt_valid"][0]]
-                for g in gt:
-                    total_gt += 1
-                    if not len(props):
-                        continue
-                    g5 = np.array([g[0], g[2], g[3], g[4], g[6]])
-                    p5 = props[:, [0, 2, 3, 4, 6]]
-                    best = float(rotated_iou(g5, p5).max())
-                    for thr in hits:
-                        hits[thr] += best > thr
+                total_gt += len(gt)
+                if not len(props) or not len(gt):
+                    continue
+                best = rotated_iou_matrix(
+                    gt[:, [0, 2, 3, 4, 6]],
+                    props[:, [0, 2, 3, 4, 6]]).max(axis=1)
+                for thr in hits:
+                    hits[thr] += int(np.sum(best > thr))
         return {
             "val_losses": {k: v / max(n, 1)
                            for k, v in loss_sums.items()},
