@@ -125,7 +125,15 @@ class RpnConfig:
     bottleneck_channels: int = 1
     # eval-time two-pass fusion: rank anchors by the (dense, gather
     # free) BEV-only head score and fuse image ROIs only for the top-K
-    # candidates; 0 = single-pass full fusion (always used in train)
+    # candidates; 0 = single-pass full fusion (always used in train).
+    # Measured (results_r03/kfuse_ab.json): same-checkpoint AP/MOTA are
+    # bit-identical for K in {8192..1024}, but the latency delta is
+    # only ~0.3 ms (14.62 -> 14.17 ms keyframe) — within run-to-run
+    # noise — because the tiny-crop gathers are latency- not
+    # volume-bound in K. The default stays 8192: lowering it flips
+    # mid-size configs (2048 < anchors < 8192) onto the two-pass path
+    # whose candidate outputs cannot feed compute_losses outside the
+    # in-forward mini-batch, for no measurable win.
     fusion_top_k: int = 8192
 
 

@@ -78,14 +78,19 @@ def _zero_outside(y: jnp.ndarray, h0: int, h1: int, w0: int, w1: int,
                   orig_h0: int, orig_w0: int) -> jnp.ndarray:
     """Zero original positions outside [h0, h1) x [w0, w1) where the
     s2d array's block origin corresponds to original position
-    (orig_h0, orig_w0)."""
+    (orig_h0, orig_w0).
+
+    One multiply with a precomputed (hb, wb, 4C) constant, channel
+    layout phase-major (ay, ax, c): the earlier 6D-reshape form forced
+    a sublane/lane relayout around the multiply — the 3D constant form
+    is bit-exact and ~0.5 ms faster through the stem at production BEV
+    shapes (results_r03/stem_bisect.json, mask3d/exact_glue arms)."""
     b, hb, wb, c4 = y.shape
     rm = _s2d_range_mask(hb, h0 - orig_h0, h1 - orig_h0)  # (hb, 2)
     cm = _s2d_range_mask(wb, w0 - orig_w0, w1 - orig_w0)  # (wb, 2)
-    yv = y.reshape(b, hb, wb, 2, 2, c4 // 4)
-    yv = yv * jnp.asarray(rm, y.dtype)[None, :, None, :, None, None]
-    yv = yv * jnp.asarray(cm, y.dtype)[None, None, :, None, :, None]
-    return yv.reshape(b, hb, wb, c4)
+    m = rm[:, None, :, None, None] * cm[None, :, None, :, None]
+    m = np.broadcast_to(m, (hb, wb, 2, 2, c4 // 4)).reshape(hb, wb, c4)
+    return y * jnp.asarray(m, y.dtype)
 
 
 class SubpixelConvTranspose(nn.Module):
@@ -197,8 +202,15 @@ class VggPyramid(nn.Module):
                 if i < n - 1:
                     hs = _zero_outside(hs, 0, h_in, 0, w_in,
                                        origin, origin)
-            bb, hb, wb, _ = hs.shape
-            c1p = hs.reshape(bb, hb, wb, 2, 2, ch).max(axis=(3, 4))
+            # phase max-pool as elementwise maxima of the 4 contiguous
+            # C-lane channel groups (phase-major layout) — no
+            # reshape-(2,2,C)-reduce relayout; bit-exact and faster
+            # (results_r03/stem_bisect.json, slicemax/exact_glue arms)
+            c1p = jnp.maximum(
+                jnp.maximum(hs[..., 0 * ch:1 * ch],
+                            hs[..., 1 * ch:2 * ch]),
+                jnp.maximum(hs[..., 2 * ch:3 * ch],
+                            hs[..., 3 * ch:4 * ch]))
             c1 = None
         else:
             c1 = block(x, *cfg.conv1, name="conv1")
