@@ -170,11 +170,15 @@ ANGLE_SIZE = {"box_3d": 2, "box_8c": 0, "box_8co": 0,
 
 
 def bev_crop_fn(crop_size: int, window: int, train: bool,
-                map_shape: Tuple[int, ...]):
+                map_shape: Tuple[int, ...],
+                train_method: str = "auto_train"):
     """Second-stage BEV crop dispatch: the windowed Pallas form
     (ops/roi_pallas.py) at eval on an accelerator — BEV proposals are
     metric-bounded so every crop fits a static window — the general
-    (differentiable) gather form in training and on CPU tests."""
+    (differentiable) gather form in training and on CPU tests.
+    `train_method` lets the caller pick the training VJP form
+    (batch-aware: plain gather VJP at B=1, see the crop_method
+    comment in DtAvodNet)."""
     c = map_shape[2] if len(map_shape) > 2 else 1
     use_window = (not train and window > 0
                   and map_shape[0] >= window and map_shape[1] >= window
@@ -186,7 +190,7 @@ def bev_crop_fn(crop_size: int, window: int, train: bool,
         return functools.partial(crop_and_resize_window,
                                  crop_size=crop_size, window=window)
     return functools.partial(crop_and_resize, crop_size=crop_size,
-                             method="auto_train" if train else "auto")
+                             method=train_method if train else "auto")
 
 
 def encode_proposals(rep: str, prop_boxes_3d, top_anchors, gp4):
@@ -401,8 +405,14 @@ class DtAvodNet(nn.Module):
         # ---------------- RPN -------------------------------------------
         # auto_train: gather forwards take the matmul form's
         # scatter-free VJP (the gather transpose's scatter-adds were
-        # the superlinear backward term — results_r03/train_fwd_bwd.json)
-        crop_method = "auto_train" if mode == "train" else "auto"
+        # the superlinear backward term — results_r03/train_fwd_bwd.json).
+        # Batch-aware: at B=1 the serialized scatter is still cheaper
+        # than the matmul backward's rowred materialization
+        # (bwd/couple 64.6 vs 80.8 ms; at B=4 it's 123.6 vs 63.1 —
+        # train_fwd_bwd.json pre/post), so the plain gather VJP is kept
+        # for single-couple steps.
+        crop_method = ("auto_train" if mode == "train" and b > 1
+                       else "auto")
         img_shapes = batch["orig_image_shape"].astype(jnp.float32)
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size,
@@ -605,7 +615,8 @@ class DtAvodNet(nn.Module):
                                   method=crop_method)
         bev_crop2 = bev_crop_fn(m.avod.proposal_roi_crop_size,
                                 m.avod.bev_roi_window, mode == "train",
-                                bev_feats_bf.shape[2:])
+                                bev_feats_bf.shape[2:],
+                                train_method=crop_method)
         ss_bev_rois = jax.vmap(jax.vmap(bev_crop2))(
             bev_feats_bf, ss_bev_yx)                    # (B, F, K, 7, 7, C)
         ss_img_rois = jax.vmap(jax.vmap(crop2))(

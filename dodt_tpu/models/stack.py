@@ -189,8 +189,10 @@ class StackAvodNet(nn.Module):
         img_shapes = batch["orig_image_shape"].astype(jnp.float32)
         _, img_norm = jax.vmap(project_to_image_space)(
             anchors, batch["p2"], img_shapes)
-        # scatter-free VJP on gather crops in training (see dt_avod)
-        crop_method = "auto_train" if mode == "train" else "auto"
+        # scatter-free VJP on gather crops in training, batch-aware
+        # (see the crop_method comment in dt_avod.DtAvodNet)
+        crop_method = ("auto_train" if mode == "train" and b > 1
+                       else "auto")
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size,
                                  method=crop_method)
@@ -246,7 +248,8 @@ class StackAvodNet(nn.Module):
         img_feats_bf = img_feats.reshape((b, f) + img_feats.shape[1:])
         bev_crop2 = bev_crop_fn(m.avod.proposal_roi_crop_size,
                                 m.avod.bev_roi_window, mode == "train",
-                                bev_feats_bf.shape[2:])
+                                bev_feats_bf.shape[2:],
+                                train_method=crop_method)
         ss_bev_rois = jax.vmap(lambda fm, bx: jax.vmap(
             lambda fm1: bev_crop2(fm1, bx))(fm))(bev_feats_bf, ss_bev_yx)
         ss_img_rois = jax.vmap(lambda fm, bx: jax.vmap(

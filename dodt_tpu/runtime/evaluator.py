@@ -80,7 +80,14 @@ class Evaluator:
                  if isinstance(padded[0][k], np.ndarray)}
         out = self._apply({"params": params}, batch, train=False,
                           mode="val")
-        out = jax.device_get(out)
+        # fetch ONLY the decoded final_* outputs: the full output dict
+        # carries anchor-scale RPN tensors (90k objectness/anchors) —
+        # MBs per couple that the val loop never reads, and host
+        # fetches dominate eval wall time on remote-tunnel platforms
+        out = jax.device_get({k: out[k] for k in (
+            "final_boxes_3d", "final_orientations", "final_scores",
+            "final_cls_softmax", "final_valid", "final_corr_offsets")
+            if k in out})
         thr = self.cfg.eval.kitti_score_threshold
         n_frames = out["final_boxes_3d"].shape[1]
         results = []
@@ -368,8 +375,13 @@ class Evaluator:
                 batch = {k: jnp.asarray(np.stack([s[k] for s in padded]))
                          for k in padded[0]
                          if isinstance(padded[0][k], np.ndarray)}
-                out = jax.device_get(self._apply(
-                    {"params": params}, batch, train=False, mode="val"))
+                raw_out = self._apply(
+                    {"params": params}, batch, train=False, mode="val")
+                # selective fetch, same rationale as predict_couples
+                out = jax.device_get({k: raw_out[k] for k in (
+                    "final_boxes_3d", "final_orientations",
+                    "final_scores", "final_cls_softmax", "final_valid")
+                    if k in raw_out})
                 for b, sample in enumerate(samples):
                     yield sample, decode_lib.outputs_to_detections(
                         np.array(out["final_boxes_3d"][b, 0]),
