@@ -60,9 +60,8 @@ print("pretrain done:", [(h["step"], round(h["total"], 3))
                          for h in pre_hist])
 
 
-def run_dt(tag, staged):
-    cfg = cfg_mod.cars_dt_tracking_staged(pre_ck) if staged \
-        else cfg_mod.cars_dt_tracking()
+def run_dt(tag, cfg_fn, steps=None):
+    cfg = cfg_fn()
     cfg.dataset.dataset_dir = trk_root
     cfg.dataset.max_points = 32768
     cfg.dataset.video_train_ids = (0, 1)
@@ -72,7 +71,8 @@ def run_dt(tag, staged):
     model = dt_avod.DtAvodNet(cfg=cfg, cluster_sizes=CLUSTERS)
     ck = tempfile.mkdtemp(prefix=f"staged_{tag}_")
     tr = Trainer(cfg, model, ds, ck, batch_size=1)
-    _, hist = tr.train(max_steps=DT_STEPS, log_every=EVAL_EVERY)
+    _, hist = tr.train(max_steps=steps or DT_STEPS,
+                       log_every=EVAL_EVERY)
     ev_ds = tracking.KittiTrackingDataset(cfg.dataset, split="trainval")
     ev = Evaluator(cfg, model, ev_ds, ckpt_dir=ck,
                    output_dir=tempfile.mkdtemp(prefix=f"ev_{tag}_"))
@@ -85,19 +85,34 @@ def run_dt(tag, staged):
             "AP_BEV_moderate": r["ap"]["AP_BEV"]["moderate"],
             "MOTA": r["mot"].get("overall", {}).get("MOTA")})
         print(tag, traj[-1])
-    return {"loss_history": hist, "ap_trajectory": traj}
+    return {"loss_history": hist, "ap_trajectory": traj}, ck
 
 
-results = {
-    "pretrain": {"steps": PRE_STEPS, "loss_history": pre_hist},
-    "staged": run_dt("staged", True),
-    "scratch": run_dt("scratch", False),
-    "setup": f"single-frame pretrain {PRE_STEPS} steps on a synthetic "
-             f"detection fixture parameter-matched to the tracking "
-             f"fixture; DT staged (detector subtrees "
-             f"restored + frozen, corr branch trains) vs from-scratch, "
-             f"{DT_STEPS} steps each on the tracking fixture",
-}
+OUT = "results_r03/staged_vs_scratch.json"
+results = {}
+if os.path.exists(OUT) and "--reuse-scratch" in sys.argv:
+    # the scratch arm is seed-deterministic — reuse the recorded run
+    with open(OUT) as f:
+        results["scratch"] = json.load(f)["scratch"]
+
+results["pretrain"] = {"steps": PRE_STEPS, "loss_history": pre_hist}
+results["staged"], staged_ck = run_dt(
+    "staged", lambda: cfg_mod.cars_dt_tracking_staged(pre_ck))
+# stage 3: joint finetune — full restore from the staged checkpoint,
+# nothing frozen (reference re-launch with use_pretrained_model=False,
+# trainer.py:77-82 + :156-157)
+results["staged_finetune"], _ = run_dt(
+    "finetune", lambda: cfg_mod.cars_dt_tracking_finetune(staged_ck))
+if "scratch" not in results:
+    results["scratch"], _ = run_dt(
+        "scratch", cfg_mod.cars_dt_tracking)
+results["setup"] = (
+    f"single-frame pretrain {PRE_STEPS} steps on a synthetic "
+    f"detection fixture parameter-matched to the tracking fixture; "
+    f"DT staged (detector subtrees restored + frozen, corr branch "
+    f"trains) -> joint finetune (full restore, nothing frozen, "
+    f"{DT_STEPS} more steps) vs from-scratch, {DT_STEPS} steps each "
+    f"on the tracking fixture")
 os.makedirs("results_r03", exist_ok=True)
 with open("results_r03/staged_vs_scratch.json", "w") as f:
     json.dump(results, f, indent=2)

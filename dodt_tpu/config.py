@@ -349,6 +349,23 @@ def cars_dt_tracking_staged(pretrained_dir: str,
     return cfg
 
 
+def cars_dt_tracking_finetune(staged_dir: str,
+                              data_stride: int = 1) -> PipelineConfig:
+    """Stage-3 of the staged flow: joint finetune. Restores ALL
+    subtrees (detector + correlation branch) from the stage-2 staged
+    checkpoint and trains everything jointly — the reference runs this
+    by re-launching with use_pretrained_model=False, which makes
+    variable_to_train=None (all variables, trainer.py:77-82) while the
+    full saver restores the previous checkpoint (trainer.py:156-157).
+    Empty pretrained_subtrees = all shared subtrees (see
+    CheckpointIO.restore_subtrees)."""
+    cfg = cars_dt_tracking(data_stride)
+    cfg.train.pretrained_checkpoint = staged_dir
+    cfg.train.pretrained_subtrees = ()
+    cfg.train.frozen_subtrees = ()
+    return cfg
+
+
 def pedestrians_dt_tracking(data_stride: int = 1) -> PipelineConfig:
     """Pedestrian preset (parity target: pyramid_people/pedestrian
     configs + configs/mb_preprocessing/rpn_pedestrians.config: one

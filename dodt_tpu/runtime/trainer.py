@@ -228,14 +228,19 @@ class CheckpointIO:
                          subtrees, step: Optional[int] = None):
         """Named-subtree transfer restore (replaces reference
         trainer.py:160-183 index slicing): copies matching top-level
-        subtrees from another experiment's checkpoint into `params`."""
+        subtrees from another experiment's checkpoint into `params`.
+        An empty `subtrees` means "all shared subtrees" — the joint
+        finetune stage of the staged flow, where the reference restores
+        the full checkpoint and trains every variable
+        (trainer.py:156-157 full-saver restore with
+        use_pretrained_model=False, :77-82)."""
         other = CheckpointIO(source_dir)
         src = other.restore_params(step)
         if src is None:
             raise FileNotFoundError(f"no checkpoint in {source_dir}")
         out = dict(params)
-        for name in subtrees:
-            if name in src:
+        for name in (subtrees or src.keys()):
+            if name in src and name in out:
                 out[name] = src[name]
         return type(params)(out) if not isinstance(params, dict) else out
 

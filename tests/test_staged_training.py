@@ -115,3 +115,30 @@ def test_staged_flow_end_to_end(world, tmp_path):
     ev = Evaluator(cfg2, model2, ev_ds, ck2, str(tmp_path / "eval"))
     results = ev.run_checkpoint_once(2)
     assert "ap" in results and "mot" in results
+
+    # ---- stage 3: joint finetune — restore ALL subtrees from the
+    # staged checkpoint, nothing frozen (reference trainer.py:77-82
+    # variable_to_train=None + :156-157 full restore)
+    cfg3 = base_cfg()
+    ft = cfg_mod.cars_dt_tracking_finetune(ck2)
+    cfg3.train.pretrained_checkpoint = ft.train.pretrained_checkpoint
+    cfg3.train.pretrained_subtrees = ft.train.pretrained_subtrees
+    cfg3.train.frozen_subtrees = ft.train.frozen_subtrees
+    cfg3.dataset.dataset_dir = trk_root
+    ds3 = tracking.KittiTrackingDataset(cfg3.dataset, split="train")
+    model3 = dt_avod.DtAvodNet(cfg=cfg3, cluster_sizes=CLUSTERS)
+    ck3 = str(tmp_path / "finetune")
+    t3 = Trainer(cfg3, model3, ds3, ck3, batch_size=1)
+    state3 = t3.init_or_restore()
+    # every subtree — detector AND corr branch — matches the staged
+    # checkpoint bit-for-bit (empty subtrees = all shared)
+    for name in state3.params:
+        assert _leaf_max_abs_diff(state3.params[name],
+                                  state2b.params[name]) == 0.0, name
+    state3b, hist3 = t3.train(max_steps=2, log_every=1)
+    assert all(np.isfinite(h["total"]) for h in hist3)
+    # the detector is trainable again: real steps move its params
+    moved = max(_leaf_max_abs_diff(state3b.params[name],
+                                   state2b.params[name])
+                for name in cfg_mod.DETECTOR_SUBTREES)
+    assert moved > 0.0
