@@ -44,20 +44,24 @@ synthetic.write_tracking_fixture(trk_root, num_videos=2, num_frames=10,
                                  ego_speed=0.4, num_cars=7,
                                  points_per_car=512)
 
+SCRATCH_ONLY = "--scratch-only" in sys.argv
+
 # ---- stage 1: single-frame pretrain
-cfg1 = cfg_mod.cars_single_frame()
-cfg1.dataset.dataset_dir = obj_root
-cfg1.dataset.max_points = 32768
-cfg1.train.checkpoint_interval = PRE_STEPS
-cfg1.train.optimizer.initial_lr = 1e-3
-ds1 = detection.KittiDataset(cfg1.dataset, split="train")
-model1 = dt_avod.DtAvodNet(cfg=cfg1, cluster_sizes=CLUSTERS,
-                           num_frames=1)
-pre_ck = tempfile.mkdtemp(prefix="staged_pre_")
-t1 = Trainer(cfg1, model1, ds1, pre_ck, batch_size=1)
-_, pre_hist = t1.train(max_steps=PRE_STEPS, log_every=PRE_STEPS // 4)
-print("pretrain done:", [(h["step"], round(h["total"], 3))
-                         for h in pre_hist])
+if not SCRATCH_ONLY:
+    cfg1 = cfg_mod.cars_single_frame()
+    cfg1.dataset.dataset_dir = obj_root
+    cfg1.dataset.max_points = 32768
+    cfg1.train.checkpoint_interval = PRE_STEPS
+    cfg1.train.optimizer.initial_lr = 1e-3
+    ds1 = detection.KittiDataset(cfg1.dataset, split="train")
+    model1 = dt_avod.DtAvodNet(cfg=cfg1, cluster_sizes=CLUSTERS,
+                               num_frames=1)
+    pre_ck = tempfile.mkdtemp(prefix="staged_pre_")
+    t1 = Trainer(cfg1, model1, ds1, pre_ck, batch_size=1)
+    _, pre_hist = t1.train(max_steps=PRE_STEPS,
+                           log_every=PRE_STEPS // 4)
+    print("pretrain done:", [(h["step"], round(h["total"], 3))
+                             for h in pre_hist])
 
 
 def run_dt(tag, cfg_fn, steps=None):
@@ -90,19 +94,26 @@ def run_dt(tag, cfg_fn, steps=None):
 
 OUT = "results_r03/staged_vs_scratch.json"
 results = {}
-if os.path.exists(OUT) and "--reuse-scratch" in sys.argv:
-    # the scratch arm is seed-deterministic — reuse the recorded run
+if os.path.exists(OUT) and (SCRATCH_ONLY or
+                            "--reuse-scratch" in sys.argv):
+    # merge with the recorded run (fixtures are seed-deterministic, so
+    # arms recorded by separate invocations saw identical data)
     with open(OUT) as f:
-        results["scratch"] = json.load(f)["scratch"]
+        prev = json.load(f)
+    keep = ("pretrain", "staged", "staged_finetune") if SCRATCH_ONLY \
+        else ("scratch",)
+    results.update({k: prev[k] for k in keep if k in prev})
 
-results["pretrain"] = {"steps": PRE_STEPS, "loss_history": pre_hist}
-results["staged"], staged_ck = run_dt(
-    "staged", lambda: cfg_mod.cars_dt_tracking_staged(pre_ck))
-# stage 3: joint finetune — full restore from the staged checkpoint,
-# nothing frozen (reference re-launch with use_pretrained_model=False,
-# trainer.py:77-82 + :156-157)
-results["staged_finetune"], _ = run_dt(
-    "finetune", lambda: cfg_mod.cars_dt_tracking_finetune(staged_ck))
+if not SCRATCH_ONLY:
+    results["pretrain"] = {"steps": PRE_STEPS,
+                           "loss_history": pre_hist}
+    results["staged"], staged_ck = run_dt(
+        "staged", lambda: cfg_mod.cars_dt_tracking_staged(pre_ck))
+    # stage 3: joint finetune — full restore from the staged
+    # checkpoint, nothing frozen (reference re-launch with
+    # use_pretrained_model=False, trainer.py:77-82 + :156-157)
+    results["staged_finetune"], _ = run_dt(
+        "finetune", lambda: cfg_mod.cars_dt_tracking_finetune(staged_ck))
 if "scratch" not in results:
     results["scratch"], _ = run_dt(
         "scratch", cfg_mod.cars_dt_tracking)
