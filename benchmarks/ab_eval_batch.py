@@ -13,7 +13,7 @@ Timing is wall-clock over the predict loop only (host load + device
 dispatch + fetch), excluding the AP/MOT scoring that follows either
 way. First sweep per B is discarded (jit compile).
 
-Writes results_r03/eval_batch_ab.json.
+Writes results_r04/eval_batch_ab.json.
 Run: python benchmarks/ab_eval_batch.py
 """
 import json
@@ -79,7 +79,7 @@ results["speedup_B4_over_B1"] = round(
 results["setup"] = ("full val predict loop (host load + jit dispatch "
                     "+ fetch) over the 40-couple fixture, untrained "
                     "params, second sweep timed")
-os.makedirs("results_r03", exist_ok=True)
-with open("results_r03/eval_batch_ab.json", "w") as f:
+os.makedirs("results_r04", exist_ok=True)
+with open("results_r04/eval_batch_ab.json", "w") as f:
     json.dump(results, f, indent=2)
-print("wrote results_r03/eval_batch_ab.json")
+print("wrote results_r04/eval_batch_ab.json")

@@ -1,0 +1,61 @@
+"""Hard-MOT metric table (VERDICT r3 item 4): the un-saturating
+scenario of tracking/scenarios.py scored through the parity-tested
+CLEAR-MOT evaluator, across
+
+  * association quality: model-grade (ground-truth) offsets vs zeroed
+    offsets (broken-association regression arm),
+  * ttl=1 (track_iou) vs ttl=4 (track_iou_v2 occlusion tolerance),
+  * IoU-offset tracker vs the Kalman pipeline.
+
+Writes results_r04/mot_hard.json.
+Run: python benchmarks/mot_hard.py
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from dodt_tpu.tracking import iou_tracker, kalman, mot_eval  # noqa: E402
+from dodt_tpu.tracking.scenarios import (hard_mot_scenario,  # noqa: E402
+                                         tracks_to_pred_frames)
+
+N = 32
+KEEP = ("MOTA", "MOTP", "MT", "PT", "ML", "IDS", "FM", "TP", "FP", "FN",
+        "recall", "precision")
+
+
+def run(zero_offsets=False, ttl=4, tracker="iou"):
+    gt, dets = hard_mot_scenario(n_frames=N, zero_offsets=zero_offsets)
+    if tracker == "iou":
+        tracks = iou_tracker.track_through_ious(
+            dets, high_threshold=0.85, iou_threshold=0.005, t_min=3,
+            ttl=ttl)
+    else:
+        tracks = kalman.kf_pipeline(dets)
+    r = mot_eval.evaluate_tracking(gt, tracks_to_pred_frames(tracks, N))
+    out = {k: round(float(r[k]), 2) for k in KEEP}
+    out["n_tracks"] = len(tracks)
+    return out
+
+
+results = {
+    "scenario": "32 frames, 10 objects: crossing pair (2.2 m/f), fast "
+                "pair (4.4 m/f > box length), 3-frame occlusion gap "
+                "with sub-t_min tail, birth@10, death@21, near-miss "
+                "parallel pair (2.5 m), low-score object (ML probe); "
+                "n_gt=300 (tracking/scenarios.py, seed 0)",
+    "iou_offsets_ttl4": run(),
+    "iou_offsets_ttl1": run(ttl=1),
+    "iou_zero_offsets_ttl4": run(zero_offsets=True),
+    "iou_zero_offsets_ttl1": run(zero_offsets=True, ttl=1),
+    "kalman": run(tracker="kf"),
+    "kalman_zero_offsets": run(tracker="kf", zero_offsets=True),
+}
+os.makedirs("results_r04", exist_ok=True)
+with open("results_r04/mot_hard.json", "w") as f:
+    json.dump(results, f, indent=2)
+for k, v in results.items():
+    print(k, v)
+print("wrote results_r04/mot_hard.json")

@@ -9,9 +9,10 @@
 and record the convergence delta (loss + AP/MOT trajectories at
 matched steps).
 
-Results land in results_r03/staged_vs_scratch.json.
+Results land in results_r04/staged_vs_scratch.json.
 Run: python benchmarks/train_staged_vs_scratch.py [dt_steps] [pre_steps]
 """
+import hashlib
 import json
 import os
 import sys
@@ -38,11 +39,18 @@ trk_root = tempfile.mkdtemp(prefix="staged_trk_")
 # staged flow pretrains on the same data distribution the DT stage
 # sees — a mismatched pretrain caps the transferred (frozen) detector
 # far below what the DT fixture supports.
-synthetic.write_detection_fixture(obj_root, num_frames=8, num_scenes=3,
-                                  num_cars=7, points_per_car=512)
-synthetic.write_tracking_fixture(trk_root, num_videos=2, num_frames=10,
-                                 ego_speed=0.4, num_cars=7,
-                                 points_per_car=512)
+DET_FIXTURE = dict(num_frames=8, num_scenes=3, num_cars=7,
+                   points_per_car=512)
+TRK_FIXTURE = dict(num_videos=2, num_frames=10, ego_speed=0.4,
+                   num_cars=7, points_per_car=512)
+synthetic.write_detection_fixture(obj_root, **DET_FIXTURE)
+synthetic.write_tracking_fixture(trk_root, **TRK_FIXTURE)
+# fingerprint of the (seed-deterministic) fixture parameters: separate
+# invocations may only be merged into one results file when they saw
+# identical data
+FINGERPRINT = hashlib.sha256(json.dumps(
+    {"det": DET_FIXTURE, "trk": TRK_FIXTURE, "dt_steps": DT_STEPS,
+     "pre_steps": PRE_STEPS}, sort_keys=True).encode()).hexdigest()[:16]
 
 SCRATCH_ONLY = "--scratch-only" in sys.argv
 
@@ -92,14 +100,19 @@ def run_dt(tag, cfg_fn, steps=None):
     return {"loss_history": hist, "ap_trajectory": traj}, ck
 
 
-OUT = "results_r03/staged_vs_scratch.json"
+OUT = "results_r04/staged_vs_scratch.json"
 results = {}
 if os.path.exists(OUT) and (SCRATCH_ONLY or
                             "--reuse-scratch" in sys.argv):
-    # merge with the recorded run (fixtures are seed-deterministic, so
-    # arms recorded by separate invocations saw identical data)
+    # merge with the recorded run — but only if the fixture fingerprint
+    # matches, i.e. the separate invocations saw identical data
     with open(OUT) as f:
         prev = json.load(f)
+    if prev.get("fingerprint") != FINGERPRINT:
+        raise SystemExit(
+            f"refusing to merge: recorded fingerprint "
+            f"{prev.get('fingerprint')} != current {FINGERPRINT} "
+            f"(different fixture parameters or step budgets)")
     keep = ("pretrain", "staged", "staged_finetune") if SCRATCH_ONLY \
         else ("scratch",)
     results.update({k: prev[k] for k in keep if k in prev})
@@ -109,22 +122,33 @@ if not SCRATCH_ONLY:
                            "loss_history": pre_hist}
     results["staged"], staged_ck = run_dt(
         "staged", lambda: cfg_mod.cars_dt_tracking_staged(pre_ck))
-    # stage 3: joint finetune — full restore from the staged
-    # checkpoint, nothing frozen (reference re-launch with
-    # use_pretrained_model=False, trainer.py:77-82 + :156-157)
+    # stage 3: joint finetune — FULL-state restore from the staged
+    # checkpoint (params + global step + Adam moments), nothing frozen
+    # (reference re-launch with use_pretrained_model=False,
+    # trainer.py:77-82 + :156-157). Training resumes at step DT_STEPS,
+    # so the budget is 2*DT_STEPS for DT_STEPS finetune steps.
     results["staged_finetune"], _ = run_dt(
-        "finetune", lambda: cfg_mod.cars_dt_tracking_finetune(staged_ck))
+        "finetune", lambda: cfg_mod.cars_dt_tracking_finetune(staged_ck),
+        steps=2 * DT_STEPS)
 if "scratch" not in results:
     results["scratch"], _ = run_dt(
         "scratch", cfg_mod.cars_dt_tracking)
-results["setup"] = (
-    f"single-frame pretrain {PRE_STEPS} steps on a synthetic "
-    f"detection fixture parameter-matched to the tracking fixture; "
-    f"DT staged (detector subtrees restored + frozen, corr branch "
-    f"trains) -> joint finetune (full restore, nothing frozen, "
-    f"{DT_STEPS} more steps) vs from-scratch, {DT_STEPS} steps each "
-    f"on the tracking fixture")
-os.makedirs("results_r03", exist_ok=True)
-with open("results_r03/staged_vs_scratch.json", "w") as f:
+
+ARM_DESC = {
+    "pretrain": f"single-frame pretrain {PRE_STEPS} steps on a synthetic"
+                " detection fixture parameter-matched to the tracking"
+                " fixture",
+    "staged": "DT staged: detector subtrees restored + frozen, corr"
+              f" branch trains {DT_STEPS} steps",
+    "staged_finetune": "joint finetune: FULL-state restore (step + Adam"
+                       f" moments carried), nothing frozen, {DT_STEPS}"
+                       " more steps",
+    "scratch": f"DT from scratch, {DT_STEPS} steps",
+}
+results["setup"] = "; ".join(ARM_DESC[k] for k in ARM_DESC
+                             if k in results)
+results["fingerprint"] = FINGERPRINT
+os.makedirs("results_r04", exist_ok=True)
+with open(OUT, "w") as f:
     json.dump(results, f, indent=2)
-print("wrote results_r03/staged_vs_scratch.json")
+print(f"wrote {OUT}")

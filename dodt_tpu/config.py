@@ -226,7 +226,15 @@ class TrainConfig:
     # named-subtree transfer learning (replaces the reference's
     # hard-coded trainable-variable index slices, trainer.py:160-183)
     pretrained_checkpoint: Optional[str] = None
-    pretrained_subtrees: Tuple[str, ...] = ()
+    # None = restore ALL subtrees shared with the source checkpoint;
+    # an explicit tuple restores exactly those (raising on a missing
+    # name); () = restore nothing. See CheckpointIO.restore_subtrees.
+    pretrained_subtrees: Optional[Tuple[str, ...]] = None
+    # True = restore the FULL TrainState (params + global step + Adam
+    # moments + EMA) from pretrained_checkpoint — the reference's
+    # stage-3 re-launch, whose full-saver restore carries global_step so
+    # the exp-decay LR continues decayed (trainer.py:156-157)
+    pretrained_full_state: bool = False
     frozen_subtrees: Tuple[str, ...] = ()
     # numeric sanitizer: raise at the op producing a NaN (jax_debug_nans)
     debug_nans: bool = False
@@ -351,17 +359,19 @@ def cars_dt_tracking_staged(pretrained_dir: str,
 
 def cars_dt_tracking_finetune(staged_dir: str,
                               data_stride: int = 1) -> PipelineConfig:
-    """Stage-3 of the staged flow: joint finetune. Restores ALL
-    subtrees (detector + correlation branch) from the stage-2 staged
-    checkpoint and trains everything jointly — the reference runs this
-    by re-launching with use_pretrained_model=False, which makes
-    variable_to_train=None (all variables, trainer.py:77-82) while the
-    full saver restores the previous checkpoint (trainer.py:156-157).
-    Empty pretrained_subtrees = all shared subtrees (see
-    CheckpointIO.restore_subtrees)."""
+    """Stage-3 of the staged flow: joint finetune. Restores the FULL
+    train state (detector + correlation branch params, global step,
+    Adam moments) from the stage-2 staged checkpoint and trains
+    everything jointly — the reference runs this by re-launching with
+    use_pretrained_model=False, which makes variable_to_train=None
+    (all variables, trainer.py:77-82) while the full saver restores the
+    previous checkpoint incl. global_step and optimizer slots
+    (trainer.py:156-157), so the exp-decay LR schedule continues from
+    its decayed position. Training therefore resumes at the staged
+    checkpoint's step: pass the TOTAL step budget to train()."""
     cfg = cars_dt_tracking(data_stride)
     cfg.train.pretrained_checkpoint = staged_dir
-    cfg.train.pretrained_subtrees = ()
+    cfg.train.pretrained_full_state = True
     cfg.train.frozen_subtrees = ()
     return cfg
 

@@ -29,13 +29,20 @@ from dodt_tpu.tracking import iou_tracker, moi, mot_eval
 
 class Evaluator:
     def __init__(self, cfg: PipelineConfig, model, dataset,
-                 ckpt_dir: str, output_dir: str):
+                 ckpt_dir: str, output_dir: str, mesh=None):
         self.cfg = cfg
         self.model = model
         self.dataset = dataset
         self.ckpt = CheckpointIO(ckpt_dir)
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
+        # optional device mesh: the val couple axis is sharded over
+        # 'data' (the reference evaluator is strictly single-GPU,
+        # dt_evaluator.py:233-365; eval dominates wall time in every
+        # accuracy benchmark, and with params replicated the batched
+        # loop data-parallelizes with zero code change inside the jit)
+        self.mesh = mesh
+        self._mesh_params = None
         self._apply = jax.jit(model.apply,
                               static_argnames=("train", "mode"))
         self._evaluated: set = set()
@@ -73,11 +80,18 @@ class Evaluator:
         dropped."""
         bsz = max(self.cfg.eval.batch_size, 1)
         samples = [self._load(i) for i in idxs]
-        padded = samples + [samples[-1]] * (bsz - len(samples)) \
-            if len(samples) < bsz else samples
+        target = max(bsz, len(samples))
+        if self.mesh is not None:
+            # the sharded couple axis must divide evenly over 'data'
+            target += (-target) % self.mesh.shape["data"]
+        padded = samples + [samples[-1]] * (target - len(samples))
         batch = {k: jnp.asarray(np.stack([s[k] for s in padded]))
                  for k in padded[0]
                  if isinstance(padded[0][k], np.ndarray)}
+        if self.mesh is not None:
+            from dodt_tpu.parallel import mesh as mesh_lib
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+            params = self._replicated(params)
         out = self._apply({"params": params}, batch, train=False,
                           mode="val")
         # fetch ONLY the decoded final_* outputs: the full output dict
@@ -108,6 +122,17 @@ class Evaluator:
             results.append({"sample": sample, "dets": dets,
                             "couple": self.dataset.couples[idx]})
         return results
+
+    def _replicated(self, params):
+        """Params replicated over the mesh, cached per params object
+        (one host->devices broadcast per checkpoint, not per batch)."""
+        if self._mesh_params is None or \
+                self._mesh_params[0] is not params:
+            from dodt_tpu.parallel import mesh as mesh_lib
+            placed = jax.device_put(params,
+                                    mesh_lib.replicated(self.mesh))
+            self._mesh_params = (params, placed)
+        return self._mesh_params[1]
 
     def predict_couple(self, params, idx: int) -> Dict:
         """Single-couple convenience wrapper (streaming/infer paths).

@@ -79,9 +79,14 @@ def create_train_state(cfg: PipelineConfig, model, batch,
         {"params": rng, "dropout": rng, "pathdrop": rng}, batch,
         train=False, mode="val")
     params = variables["params"]
-    frozen = None
-    if cfg.train.frozen_subtrees:
-        frozen = frozen_mask_from_subtrees(params, cfg.train.frozen_subtrees)
+    # Always build the (possibly all-False) frozen mask so the optimizer
+    # chain — and therefore the opt_state pytree structure — is
+    # identical across staged/finetune/scratch configs of the same
+    # model. That makes the FULL TrainState (Adam moments, LR-schedule
+    # count) restorable across stages of the staged flow, matching the
+    # reference's full-saver restore semantics (trainer.py:156-157).
+    frozen = frozen_mask_from_subtrees(params,
+                                       cfg.train.frozen_subtrees or ())
     tx = make_optimizer(cfg, frozen)
     opt_state = tx.init(params)
     ema = params if cfg.train.optimizer.use_moving_average else None
@@ -104,10 +109,10 @@ def make_train_step(cfg: PipelineConfig, model, mesh=None):
 
     def get_tx(params):
         if "tx" not in tx_holder:
-            f = None
-            if cfg.train.frozen_subtrees:
-                f = frozen_mask_from_subtrees(params,
-                                              cfg.train.frozen_subtrees)
+            # always-masked chain — must match create_train_state so the
+            # opt_state structures agree (see comment there)
+            f = frozen_mask_from_subtrees(params,
+                                          cfg.train.frozen_subtrees or ())
             tx_holder["tx"] = make_optimizer(cfg, f)
         return tx_holder["tx"]
 
@@ -225,23 +230,36 @@ class CheckpointIO:
             ema_params=restored.get("ema_params"))
 
     def restore_subtrees(self, params, source_dir: str,
-                         subtrees, step: Optional[int] = None):
+                         subtrees=None, step: Optional[int] = None):
         """Named-subtree transfer restore (replaces reference
         trainer.py:160-183 index slicing): copies matching top-level
         subtrees from another experiment's checkpoint into `params`.
-        An empty `subtrees` means "all shared subtrees" — the joint
-        finetune stage of the staged flow, where the reference restores
-        the full checkpoint and trains every variable
-        (trainer.py:156-157 full-saver restore with
-        use_pretrained_model=False, :77-82)."""
+
+        `subtrees` sentinel: **None** means "all shared subtrees"
+        (every top-level name present in both the source checkpoint and
+        `params`); an explicit tuple restores exactly those names and
+        RAISES if any is missing from the source or the target — a typo
+        or architecture mismatch must not silently leave a subtree at
+        its random init. `()` means restore nothing (expressible, but
+        a config that sets pretrained_checkpoint with no subtrees gets
+        the None default = everything shared)."""
         other = CheckpointIO(source_dir)
         src = other.restore_params(step)
         if src is None:
             raise FileNotFoundError(f"no checkpoint in {source_dir}")
         out = dict(params)
-        for name in (subtrees or src.keys()):
-            if name in src and name in out:
-                out[name] = src[name]
+        if subtrees is None:
+            names = [n for n in src.keys() if n in out]
+        else:
+            names = list(subtrees)
+            missing = [n for n in names if n not in src or n not in out]
+            if missing:
+                raise KeyError(
+                    f"pretrained_subtrees not found (src={source_dir}): "
+                    f"{missing}; source has {sorted(src.keys())}, "
+                    f"target has {sorted(out.keys())}")
+        for name in names:
+            out[name] = src[name]
         return type(params)(out) if not isinstance(params, dict) else out
 
 
@@ -276,10 +294,30 @@ class Trainer:
         if latest is not None:
             state = self.ckpt.restore_state(state, latest)
         elif self.cfg.train.pretrained_checkpoint:
-            params = self.ckpt.restore_subtrees(
-                state.params, self.cfg.train.pretrained_checkpoint,
-                self.cfg.train.pretrained_subtrees)
-            state = state._replace(params=params)
+            if self.cfg.train.pretrained_full_state:
+                # Stage-3 joint finetune semantics: the reference
+                # re-launches with use_pretrained_model=False and the
+                # FULL saver restores the previous checkpoint incl.
+                # global_step and the Adam slots (trainer.py:156-157),
+                # so the exponential-decay LR continues from its decayed
+                # position instead of restarting at initial_lr with
+                # zeroed moments.
+                src = CheckpointIO(self.cfg.train.pretrained_checkpoint)
+                restored = src.restore_state(state)
+                if restored is None:
+                    raise FileNotFoundError(
+                        "pretrained_full_state: no checkpoint in "
+                        f"{self.cfg.train.pretrained_checkpoint}")
+                state = restored
+            else:
+                params = self.ckpt.restore_subtrees(
+                    state.params, self.cfg.train.pretrained_checkpoint,
+                    self.cfg.train.pretrained_subtrees)
+                # keep the EMA shadow coherent with the restored params:
+                # the evaluator prefers ema_params, which would otherwise
+                # start from the fresh random init
+                ema = params if state.ema_params is not None else None
+                state = state._replace(params=params, ema_params=ema)
         return state
 
     def _device_batch(self, augment=True):

@@ -1,0 +1,146 @@
+"""Hard MOT scenarios — detection-level fixtures that un-saturate the
+CLEAR metrics.
+
+The easy fixtures pin MOTA 100 / IDS 0, where a tracker regression
+(broken ttl, association-order bug, ID-switch explosion) is invisible;
+the reference's own val tables live at MOTA 79.72 with IDS 7 / FM 66
+(/root/reference/README.md:196-205). This module builds a deterministic
+scenario exercising the tracker's failure modes:
+
+  * a crossing pair whose paths swap-tempt a zero-offset association
+    exactly at the crossing (IDS probe),
+  * a fast pair moving more than a box length per frame — only offset
+    propagation (or a warmed-up motion model) can follow it,
+  * a k-frame occlusion gap with a tail shorter than t_min — bridged by
+    ttl>1 (track_iou_v2 semantics,
+    /root/reference/avod/core/tracking/dt_tracking_eval.py:271),
+    dropped by ttl=1 (:204),
+  * a mid-sequence birth and a mid-sequence death,
+  * a near-miss parallel pair (association must not swap),
+  * a low-score object the score gate must drop (ML probe).
+
+Detections are the tracker-level dicts of tracking/iou_tracker.py; GT
+frames are the scorer schema of tracking/mot_eval.MotEvaluator. The 2D
+boxes on both sides come from the same pinhole projection of the 3D
+boxes, so the official 2D-IoU scoring protocol applies unchanged.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# pinhole fake camera: u = CU + F*x/z, box width/height scale with 1/z.
+# F chosen so every scenario box clears the official 25 px min height.
+_F, _CU, _CV = 1200.0, 600.0, 180.0
+
+
+def project_box(box_3d) -> Tuple[float, float, float, float]:
+    """box_3d [x,y,z,l,w,h,ry] -> (x1,y1,x2,y2). Orientation is ignored
+    (apparent width = l): the scorer only needs GT and predictions to be
+    projected consistently, not photo-realistically."""
+    x, y, z, l, w, h, ry = [float(v) for v in box_3d[:7]]
+    z = max(z, 1.0)
+    u1 = _CU + _F * (x - l / 2.0) / z
+    u2 = _CU + _F * (x + l / 2.0) / z
+    v2 = _CV + _F * y / z          # y is the box bottom (camera frame)
+    v1 = v2 - _F * h / z
+    return (u1, v1, u2, v2)
+
+
+class _Obj:
+    def __init__(self, oid, x0, z0, vx, vz, first=0, last=None,
+                 score=0.95, missing=()):
+        self.oid = oid
+        self.x0, self.z0, self.vx, self.vz = x0, z0, vx, vz
+        self.first = first
+        self.last = last            # inclusive; None = scenario end
+        self.score = score
+        self.missing = set(missing)  # frames with GT but no detection
+
+    def box(self, f) -> np.ndarray:
+        t = f - self.first
+        return np.array([self.x0 + self.vx * t, 1.65,
+                         self.z0 + self.vz * t,
+                         3.9, 1.6, 1.5, 0.0])
+
+
+def hard_mot_scenario(n_frames: int = 32, noise: float = 0.05,
+                      zero_offsets: bool = False, seed: int = 0,
+                      occlusion_gap: Tuple[int, int] = (27, 29)):
+    """Returns (gt_frames, dets_per_frame).
+
+    gt_frames: MotEvaluator schema (ids / 2D boxes / types per frame).
+    dets_per_frame: iou_tracker det dicts with per-frame `offsets`
+    (offsets_span 1) — the ground-truth motion, zeroed when
+    `zero_offsets` (the deliberately-broken-association regression arm).
+    """
+    g0, g1 = occlusion_gap
+    objs = [
+        # crossing pair (z 20.0 both): swap-tempts zero-offset greedy
+        # association at the crossing frame
+        _Obj(0, -18.0, 20.0, +2.2, 0.0),
+        _Obj(1, +18.0, 20.0, -2.2, 0.0),
+        # occluded: GT present throughout, dets missing g0..g1; the
+        # post-gap tail is shorter than t_min=3
+        _Obj(2, -10.0, 10.0, 0.0, +0.5,
+             missing=range(g0, g1 + 1)),
+        # mid-sequence birth / death
+        _Obj(3, 8.0, 40.0, 0.0, -0.5, first=10),
+        _Obj(4, 12.0, 12.0, 0.0, +0.4, last=21),
+        # near-miss parallel pair, 2.5 m apart, identical velocity
+        _Obj(5, -1.25, 38.0, 0.0, -0.6),
+        _Obj(6, +1.25, 38.0, 0.0, -0.6),
+        # low-score object: the σ_h score gate must drop it (ML probe)
+        _Obj(7, -14.0, 30.0, +0.3, 0.0, score=0.45),
+        # fast pair: 4.4 m/frame > box length — zero-offset IoU with the
+        # next detection is 0, only offset propagation follows
+        _Obj(8, -18.0, 26.0, +4.4, 0.0),
+        _Obj(9, +18.0, 30.0, -4.4, 0.0),
+    ]
+    rng = np.random.default_rng(seed)
+    gt_frames: List[Dict] = []
+    dets_per_frame: List[List[Dict]] = []
+    for f in range(n_frames):
+        ids, boxes2d = [], []
+        dets: List[Dict] = []
+        for o in objs:
+            if f < o.first or (o.last is not None and f > o.last):
+                continue
+            box = o.box(f)
+            ids.append(o.oid)
+            boxes2d.append(project_box(box))
+            if f in o.missing:
+                continue
+            nbox = box.copy()
+            nbox[[0, 2]] += rng.normal(0.0, noise, 2)
+            nbox[6] += rng.normal(0.0, noise * 0.2)
+            offsets = np.array([o.vx, o.vz, 0.0])
+            dets.append({
+                "frame_id": f,
+                "box_3d": nbox,
+                "score": o.score,
+                "offsets": (np.zeros(3) if zero_offsets else offsets),
+                "offsets_span": 1,
+                "bbox_2d": project_box(nbox),
+                "gt_id": o.oid,   # for debugging only, unused by tracker
+            })
+        gt_frames.append({"ids": ids, "boxes": boxes2d,
+                          "types": ["car"] * len(ids)})
+        dets_per_frame.append(dets)
+    return gt_frames, dets_per_frame
+
+
+def tracks_to_pred_frames(tracks: List[Dict], n_frames: int
+                          ) -> List[Dict]:
+    """Tracker output (iou_tracker / kf_pipeline trajectory format) ->
+    MotEvaluator pred-frame schema, 2D boxes via the same projection."""
+    frames = [{"ids": [], "boxes": []} for _ in range(n_frames)]
+    for tid, tr in enumerate(tracks):
+        for det, f in zip(tr["trajectory"], tr["frames"]):
+            bb = det.get("bbox_2d")
+            if bb is None:
+                bb = project_box(det["box_3d"])
+            frames[f]["ids"].append(tid)
+            frames[f]["boxes"].append(bb)
+    return frames

@@ -1,0 +1,92 @@
+"""Hard MOT fixture: un-saturated CLEAR metrics with pinned nonzero
+expectations (VERDICT r3 item 4).
+
+The flagship fixtures saturate at MOTA 100 where tracker regressions are
+invisible; this scenario (tracking/scenarios.py) pins IDS / FM / MT / ML
+at nonzero values through the parity-tested scorer
+(tests/test_mot_parity.py), and proves that a deliberately broken
+association — predicted correlation offsets zeroed — measurably craters
+MOTA and produces ID switches, per the reference's tracker semantics
+(track_iou / track_iou_v2,
+/root/reference/avod/core/tracking/dt_tracking_eval.py:204,271).
+"""
+import numpy as np
+
+from dodt_tpu.tracking import iou_tracker, kalman, mot_eval
+from dodt_tpu.tracking.scenarios import (hard_mot_scenario,
+                                         tracks_to_pred_frames)
+
+N = 32
+
+
+def _score(dets, tracks):
+    gt, _ = hard_mot_scenario(n_frames=N)
+    return mot_eval.evaluate_tracking(gt,
+                                      tracks_to_pred_frames(tracks, N))
+
+
+def _run_iou(zero_offsets=False, ttl=4):
+    gt, dets = hard_mot_scenario(n_frames=N, zero_offsets=zero_offsets)
+    tracks = iou_tracker.track_through_ious(
+        dets, high_threshold=0.85, iou_threshold=0.005, t_min=3,
+        ttl=ttl)
+    return mot_eval.evaluate_tracking(
+        gt, tracks_to_pred_frames(tracks, N)), tracks
+
+
+def test_hard_scenario_unsaturated_with_true_offsets():
+    """With the model's (here: ground-truth) offsets the tracker handles
+    crossing, fast motion, occlusion, birth/death and near-miss pairs —
+    but the metrics are NOT at ceiling: the score gate must drop the
+    low-score object (ML) and the occlusion gap costs FNs + one FM."""
+    r, tracks = _run_iou()
+    assert 85.0 < r["MOTA"] < 92.0          # un-saturated
+    assert r["IDS"] == 0                    # crossing + fast pair held
+    assert r["FM"] == 1                     # occlusion re-link
+    assert r["FN"] == 35                    # 3 occluded + 32 low-score
+    assert r["FP"] == 0
+    assert r["ML"] == 10.0                  # 1 of 10 (low-score object)
+    assert r["MT"] == 90.0
+    assert len(tracks) == 9                 # low-score object gated out
+
+
+def test_zeroed_offsets_crater_mota_and_ids():
+    """Regression probe: zeroing the predicted offsets (broken
+    association) must swap identities at the crossing (IDS) and lose the
+    faster-than-a-box-length pair entirely (ML, FN surge)."""
+    good, _ = _run_iou(zero_offsets=False)
+    bad, _ = _run_iou(zero_offsets=True)
+    assert bad["IDS"] >= 2                  # crossing pair swaps
+    assert good["IDS"] == 0
+    assert bad["MOTA"] < good["MOTA"] - 15.0   # craters, not a wiggle
+    assert bad["ML"] >= 30.0                # fast pair + gated object
+    assert bad["FN"] >= good["FN"] + 60     # fast pair unfollowable
+
+
+def test_ttl_occlusion_ab():
+    """track_iou (ttl=1) vs track_iou_v2 (ttl>1) on the k-frame
+    occlusion gap whose tail is shorter than t_min: v2 bridges the gap
+    (same track id resumes -> 1 fragmentation, tail kept), ttl=1 drops
+    the tail (more FNs, no re-link)."""
+    v2, tracks_v2 = _run_iou(ttl=4)
+    v1, tracks_v1 = _run_iou(ttl=1)
+    assert v2["FM"] == 1 and v1["FM"] == 0
+    assert v1["FN"] == v2["FN"] + 2         # the 2-frame tail is lost
+    assert v2["MOTA"] > v1["MOTA"]
+    # the bridged track spans the gap in one identity
+    spans = [(t["frames"][0], t["frames"][-1]) for t in tracks_v2]
+    assert any(a < 27 and b > 29 for a, b in spans)
+
+
+def test_kalman_vs_offset_association():
+    """The Kalman pipeline ignores the learned offsets: it survives the
+    slow scenario content but cannot associate the faster-than-a-box
+    pair from a cold constant-velocity start — the measured gap between
+    kf_pipeline and the offset tracker is exactly the reference's case
+    for the correlation head (README.md:196-205 S+T+M ablation)."""
+    gt, dets = hard_mot_scenario(n_frames=N)
+    kf = mot_eval.evaluate_tracking(
+        gt, tracks_to_pred_frames(kalman.kf_pipeline(dets), N))
+    offs, _ = _run_iou()
+    assert offs["MOTA"] > kf["MOTA"] + 5.0
+    assert kf["ML"] >= 20.0                 # fast pair effectively lost

@@ -114,6 +114,62 @@ def test_tp_sharded_params_match_replicated(setup):
     _tree_allclose(scores_rep, scores_tp, msg="scores")
 
 
+def test_sharded_eval_matches_single_device(tmp_path_factory):
+    """VERDICT r3 item 6: Evaluator.predict_couples with a mesh shards
+    the val couple axis over 'data' (params replicated) — detections
+    must match the single-device evaluator, and the full
+    run_checkpoint_once loop must score identically."""
+    from dodt_tpu import config as cfg_mod
+    from dodt_tpu.data import synthetic, tracking
+    from dodt_tpu.runtime.evaluator import Evaluator
+    from dodt_tpu.runtime.trainer import CheckpointIO, create_train_state
+
+    tmp = tmp_path_factory.mktemp("sharded_eval")
+    root = str(tmp / "kitti")
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=9,
+                                     ego_speed=0.3)
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.video_train_ids = (0,)
+    cfg.eval.batch_size = 8
+    ds = tracking.KittiTrackingDataset(cfg.dataset, split="trainval")
+    assert len(ds.couples) >= 8
+    model = DtAvodNet(cfg=cfg, cluster_sizes=((3.9, 1.6, 1.5),))
+
+    batch = {k: jnp.asarray(v)[None]
+             for k, v in ds.load_couple(0, augs=()).items()
+             if isinstance(v, np.ndarray)}
+    state = create_train_state(cfg, model, batch, jax.random.PRNGKey(0))
+    ck = CheckpointIO(str(tmp / "ckpt"))
+    ck.save(1, state._replace(step=jnp.int32(1)))
+
+    ev_one = Evaluator(cfg, model, ds, ckpt_dir=str(tmp / "ckpt"),
+                       output_dir=str(tmp / "ev1"))
+    mesh = mesh_lib.make_mesh(num_data=8, num_model=1)
+    ev_mesh = Evaluator(cfg, model, ds, ckpt_dir=str(tmp / "ckpt"),
+                        output_dir=str(tmp / "ev8"), mesh=mesh)
+
+    idxs = list(range(8))
+    r_one = ev_one.predict_couples(state.params, idxs)
+    r_mesh = ev_mesh.predict_couples(state.params, idxs)
+    for a, b in zip(r_one, r_mesh):
+        for f in (0, 1):
+            da, db = a["dets"][f], b["dets"][f]
+            assert len(da) == len(db)
+            for x, y in zip(da, db):
+                np.testing.assert_allclose(x["box_3d"], y["box_3d"],
+                                           rtol=1e-5, atol=1e-5)
+                np.testing.assert_allclose(x["score"], y["score"],
+                                           rtol=1e-5, atol=1e-5)
+
+    # the whole checkpoint loop (predictions -> AP -> MOT) runs sharded
+    # and scores the same numbers
+    res_one = ev_one.run_checkpoint_once(1)
+    res_mesh = ev_mesh.run_checkpoint_once(1)
+    assert res_mesh["ap"] == res_one["ap"]
+    assert res_mesh["mot"] == res_one["mot"]
+
+
 def test_dp_inference_streams_match_single_device(setup):
     """Serving story (VERDICT r2 item 8): 8 independent streams, one
     per device on a pure-data mesh, each stream's outputs bit-equal to

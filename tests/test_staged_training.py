@@ -116,13 +116,14 @@ def test_staged_flow_end_to_end(world, tmp_path):
     results = ev.run_checkpoint_once(2)
     assert "ap" in results and "mot" in results
 
-    # ---- stage 3: joint finetune — restore ALL subtrees from the
-    # staged checkpoint, nothing frozen (reference trainer.py:77-82
-    # variable_to_train=None + :156-157 full restore)
+    # ---- stage 3: joint finetune — restore the FULL train state from
+    # the staged checkpoint, nothing frozen (reference trainer.py:77-82
+    # variable_to_train=None + :156-157 full-saver restore carrying
+    # global_step and the Adam slots, so the exp-decay LR continues)
     cfg3 = base_cfg()
     ft = cfg_mod.cars_dt_tracking_finetune(ck2)
     cfg3.train.pretrained_checkpoint = ft.train.pretrained_checkpoint
-    cfg3.train.pretrained_subtrees = ft.train.pretrained_subtrees
+    cfg3.train.pretrained_full_state = ft.train.pretrained_full_state
     cfg3.train.frozen_subtrees = ft.train.frozen_subtrees
     cfg3.dataset.dataset_dir = trk_root
     ds3 = tracking.KittiTrackingDataset(cfg3.dataset, split="train")
@@ -131,11 +132,20 @@ def test_staged_flow_end_to_end(world, tmp_path):
     t3 = Trainer(cfg3, model3, ds3, ck3, batch_size=1)
     state3 = t3.init_or_restore()
     # every subtree — detector AND corr branch — matches the staged
-    # checkpoint bit-for-bit (empty subtrees = all shared)
+    # checkpoint bit-for-bit
     for name in state3.params:
         assert _leaf_max_abs_diff(state3.params[name],
                                   state2b.params[name]) == 0.0, name
-    state3b, hist3 = t3.train(max_steps=2, log_every=1)
+    # global step and the optimizer state are carried (reference
+    # full-saver semantics): step resumes at 2 and every optimizer
+    # count (Adam + LR schedule) is 2, not the fresh-init 0 — so the
+    # exp-decay LR continues from its decayed position
+    assert int(state3.step) == 2
+    import optax
+    counts = optax.tree_utils.tree_get_all_with_path(
+        state3.opt_state, "count")
+    assert counts and all(int(v) == 2 for _, v in counts)
+    state3b, hist3 = t3.train(max_steps=4, log_every=1)
     assert all(np.isfinite(h["total"]) for h in hist3)
     # the detector is trainable again: real steps move its params
     moved = max(_leaf_max_abs_diff(state3b.params[name],

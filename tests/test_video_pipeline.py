@@ -101,6 +101,16 @@ def test_viz_smoke(tmp_path):
     p2 = viz.draw_image_boxes(img, [(10, 10, 60, 60)], [0.5],
                               path=str(tmp_path / "img.png"))
     assert os.path.getsize(p2) > 500
+    # 3D point-cloud scene (mayavi-class capability, matplotlib 3D):
+    # height-colored cloud + GT wireframes + track-id-colored preds
+    pts = np.random.rand(2000, 4).astype(np.float32) * [8, 3, 7, 1]
+    p3 = viz.draw_point_cloud_3d(
+        pts, gt_boxes=boxes, pred_boxes=np.vstack([boxes, boxes]),
+        track_ids=np.array([0, 3]), path=str(tmp_path / "cloud.png"))
+    assert os.path.getsize(p3) > 1000
+    p4 = viz.draw_point_cloud_3d(pts, pred_boxes=boxes, scores=[0.7],
+                                 path=str(tmp_path / "cloud2.png"))
+    assert os.path.getsize(p4) > 1000
 
 
 def test_video_pipeline_ego_alignment(tmp_path):
