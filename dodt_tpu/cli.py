@@ -170,6 +170,12 @@ def cmd_demo(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser("dodt_tpu")
+    # device selection (reference experiments use CUDA_VISIBLE_DEVICES,
+    # e.g. run_stack_tracking_training.py:88): jax.config is the only
+    # override that sticks in environments where a site hook re-prepends
+    # platforms to JAX_PLATFORMS
+    p.add_argument("--platform", default=None,
+                   help="jax platform override, e.g. cpu / tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train")
@@ -208,6 +214,9 @@ def main(argv=None):
     d.set_defaults(fn=cmd_demo)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -102,6 +102,13 @@ class FeatureExtractorConfig:
     # (exact same function, MXU-friendly channel counts); only applies
     # with decode_stride=2, where full-res c1 is never needed
     s2d_stem: bool = True
+    # extend the s2d treatment through the tower interior: conv2 block
+    # in s2d layout (entry conv fused with the implicit s2d as one
+    # stride-2 phase-packed conv), packed subpixel up2 (no
+    # depth-to-space), fusion2 conv in s2d layout with one final
+    # depth-to-space — exact same function, wider MXU contractions,
+    # zero thin-channel relayouts (requires s2d_stem + the same gates)
+    s2d_interior: bool = True
 
 
 @dataclass

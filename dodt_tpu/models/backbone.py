@@ -68,6 +68,45 @@ def s2d_kernel_3x3(k: jnp.ndarray) -> jnp.ndarray:
     return k2.reshape(2, 2, 4 * ci, 4 * co)
 
 
+def packed_entry_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a (3, 3, Ci, Co) kernel into the (4, 4, Ci, 4Co) kernel
+    of the fused [3x3 conv -> space-to-depth] op: one stride-2 VALID
+    conv on the SPATIAL input produces the s2d-layout output directly
+    (phase-major (ay, ax, c) channels), so the input never goes through
+    the s2d relayout — a pure data movement XLA lowers poorly for
+    thin-channel full-resolution maps."""
+    ci, co = k3.shape[2], k3.shape[3]
+    k4 = jnp.zeros((4, 4, ci, 4 * co), k3.dtype)
+    for ay in range(2):
+        for ax in range(2):
+            ph = ay * 2 + ax
+            k4 = k4.at[ay:ay + 3, ax:ax + 3, :,
+                       ph * co:(ph + 1) * co].set(k3)
+    return k4
+
+
+def s2d_concat_kernel_3x3(k3: jnp.ndarray, splits) -> jnp.ndarray:
+    """s2d_kernel_3x3 for an input that is a CHANNEL CONCAT of s2d
+    tensors: [(ay,ax,c1)..(ay,ax,cK)] instead of (ay,ax,[c1..cK]).
+    `splits` are the per-part channel counts summing to Ci. The
+    scattered kernel's input axis is permuted to match."""
+    k = s2d_kernel_3x3(k3)               # (2, 2, 4*Ci, 4*Co)
+    ci = k3.shape[2]
+    # position of logical (ay, ax, part, c) in the concat layout
+    perm = np.zeros(4 * ci, dtype=np.int32)
+    base_logical = 0
+    base_concat = 0
+    for part in np.asarray(splits):
+        for ph in range(4):
+            for c in range(part):
+                logical = ph * ci + base_logical + c
+                concat = base_concat + ph * part + c
+                perm[concat] = logical
+        base_logical += part
+        base_concat += 4 * part
+    return k[:, :, perm, :]
+
+
 def _s2d_range_mask(n_blocks: int, lo: int, hi: int) -> np.ndarray:
     """(n_blocks, 2) 0/1 mask of original positions in [lo, hi)."""
     pos = np.arange(n_blocks * 2).reshape(n_blocks, 2)
@@ -91,6 +130,29 @@ def _zero_outside(y: jnp.ndarray, h0: int, h1: int, w0: int, w1: int,
     m = rm[:, None, :, None, None] * cm[None, :, None, :, None]
     m = np.broadcast_to(m, (hb, wb, 2, 2, c4 // 4)).reshape(hb, wb, c4)
     return y * jnp.asarray(m, y.dtype)
+
+
+def depth_to_space(y: jnp.ndarray, co: int) -> jnp.ndarray:
+    """(B, h, w, 4co) phase-major (ay, ax, c) -> (B, 2h, 2w, co)."""
+    b, hb, wb, _ = y.shape
+    y = y.reshape(b, hb, wb, 2, 2, co)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+        b, 2 * hb, 2 * wb, co)
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's names/shapes/initializers, for
+    convs whose math runs through a scattered-kernel form — the param
+    tree (and therefore every checkpoint) is identical to nn.Conv."""
+    features: int
+
+    @nn.compact
+    def __call__(self, ci: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, ci, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
 
 
 class SubpixelConvTranspose(nn.Module):

@@ -182,10 +182,16 @@ class CheckpointIO:
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
-        return self.manager.latest_step()
+        steps = self.all_steps()
+        return steps[-1] if steps else None
 
     def all_steps(self):
-        return sorted(self.manager.all_steps())
+        # read=True re-lists the directory instead of trusting this
+        # manager's in-process cache: in the eval-while-train deployment
+        # (reference README.md:416, dt_evaluator.py:461-533) a SEPARATE
+        # trainer process writes checkpoints into this dir, which the
+        # cached view would never see
+        return sorted(self.manager.all_steps(read=True))
 
     def restore_params(self, step: Optional[int] = None,
                        prefer_ema: bool = False):
