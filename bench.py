@@ -146,6 +146,24 @@ def main():
     device_sync(out["final_boxes_3d"])
     stream_dt = (time.perf_counter() - t0) / n_iters
 
+    # ---- streaming with ego-motion feature warp: the cost a MOVING
+    # platform pays per keyframe (affine BEV feature+proposal warp into
+    # the previous keyframe's coordinates instead of a tower re-encode;
+    # highway speed: 1.2 m/frame x tau=3 between keyframes, slight yaw)
+    th = np.radians(0.5)
+    a2 = np.array([[np.cos(th), -np.sin(th)],
+                   [np.sin(th), np.cos(th)]], np.float32)
+    b2 = np.array([0.05, 3.6], np.float32)
+    ego = (a2, b2)
+    for _ in range(3):
+        out = pred.push_keyframe(frame, fetch=False, ego_to_prev=ego)
+    device_sync(out["final_boxes_3d"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = pred.push_keyframe(frame, fetch=False, ego_to_prev=ego)
+    device_sync(out["final_boxes_3d"])
+    stream_ego_dt = (time.perf_counter() - t0) / n_iters
+
     # ---- MFU: XLA-counted model flops / (measured time x chip peak) -
     mfu = None
     flops = None
@@ -170,6 +188,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "pair_latency_ms": round(pair_dt * 1000, 2),
         "stream_keyframe_ms": round(stream_dt * 1000, 2),
+        "stream_keyframe_ms_ego": round(stream_ego_dt * 1000, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "pair_gflops": round(flops / 1e9, 1) if flops else None,
         "device": str(jax.devices()[0]),

@@ -107,6 +107,36 @@ def s2d_concat_kernel_3x3(k3: jnp.ndarray, splits) -> jnp.ndarray:
     return k[:, :, perm, :]
 
 
+def s2d_pad1_top_left(y: jnp.ndarray, ch: int) -> jnp.ndarray:
+    """1-row/1-col spatial zero-pad (top/left) of an s2d-layout tensor,
+    as a phase shuffle + block shift (plus a zero block bottom/right to
+    keep the spatial size even): output block j covers spatial rows
+    2j-1, 2j of the input. Lets a 3x3 SAME conv run in s2d layout with
+    the standard shift-by-one scattered kernel and land back at block
+    origin 0 — no full-grid relayout."""
+    g = [y[..., i * ch:(i + 1) * ch] for i in range(4)]  # 00 01 10 11
+
+    def down(t):
+        return jnp.pad(t, ((0, 0), (1, 0), (0, 0), (0, 0)))
+
+    def keep_h(t):
+        return jnp.pad(t, ((0, 0), (0, 1), (0, 0), (0, 0)))
+
+    def right(t):
+        return jnp.pad(t, ((0, 0), (0, 0), (1, 0), (0, 0)))
+
+    def keep_w(t):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, 1), (0, 0)))
+
+    # pad top on ay: new (0,ax) <- old (1,ax) one block down;
+    #                new (1,ax) <- old (0,ax)
+    g = [down(g[2]), down(g[3]), keep_h(g[0]), keep_h(g[1])]
+    # pad left on ax: new (ay,0) <- old (ay,1) one block right;
+    #                 new (ay,1) <- old (ay,0)
+    g = [right(g[1]), keep_w(g[0]), right(g[3]), keep_w(g[2])]
+    return jnp.concatenate(g, axis=-1)
+
+
 def _s2d_range_mask(n_blocks: int, lo: int, hi: int) -> np.ndarray:
     """(n_blocks, 2) 0/1 mask of original positions in [lo, hi)."""
     pos = np.arange(n_blocks * 2).reshape(n_blocks, 2)
@@ -174,6 +204,10 @@ class SubpixelConvTranspose(nn.Module):
     """
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    # packed=True returns the phase-major (py, px, c) output WITHOUT the
+    # depth-to-space interleave — i.e. the s2d layout of the upsampled
+    # map at block origin 0, for consumers that stay in s2d layout
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -196,11 +230,9 @@ class SubpixelConvTranspose(nn.Module):
         y = jax.lax.conv_general_dilated(
             xp, k2, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        b_, h, w, _ = y.shape
-        y = y.reshape(b_, h, w, 2, 2, co)
-        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
-            b_, 2 * h, 2 * w, co)
-        return y + bias.astype(self.dtype)
+        if self.packed:
+            return y + jnp.tile(bias, 4).astype(self.dtype)
+        return depth_to_space(y, co) + bias.astype(self.dtype)
 
 
 class VggPyramid(nn.Module):
@@ -219,6 +251,9 @@ class VggPyramid(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         x = x.astype(self.dtype)
+        use_s2d = (cfg.s2d_stem and cfg.decode_stride == 2
+                   and cfg.pyramid and cfg.norm == "none")
+        use_s2d_int = use_s2d and cfg.s2d_interior
         ph = (-x.shape[1]) % 8
         pw = (-x.shape[2]) % 8
         if ph or pw:
@@ -235,50 +270,75 @@ class VggPyramid(nn.Module):
         def pool(h):
             return nn.max_pool(h, (2, 2), strides=(2, 2))
 
-        use_s2d = (cfg.s2d_stem and cfg.decode_stride == 2
-                   and cfg.pyramid and cfg.norm == "none")
-        if use_s2d:
-            # conv1 block + pool evaluated in space-to-depth layout
-            # (exact function, see s2d_kernel_3x3); full-res c1 is
-            # never materialized (unused at decode_stride 2)
-            n = cfg.conv1[0]
-            ch = cfg.conv1[1]
-            h_in, w_in = x.shape[1], x.shape[2]
-            hs = space_to_depth(jnp.pad(
-                x, ((0, 0), (n, n), (n, n), (0, 0))))
-            origin = -n
-            for i in range(n):
-                cin = hs.shape[-1] // 4
-                kern = self.param(f"conv1_{i}_kernel",
-                                  nn.initializers.lecun_normal(),
-                                  (3, 3, cin, ch), jnp.float32)
-                bias = self.param(f"conv1_{i}_bias",
-                                  nn.initializers.zeros, (ch,),
-                                  jnp.float32)
-                ks2d = s2d_kernel_3x3(kern.astype(self.dtype))
-                hs = jax.lax.conv_general_dilated(
-                    hs, ks2d, (1, 1), "VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                origin += 1
+        def s2d_block(h, num, ch, name, flat_params):
+            """Conv block + 2x2 max-pool, evaluated in space-to-depth
+            layout with ZERO relayouts: the entry conv fuses
+            [3x3 conv -> s2d] as one stride-2 phase-packed conv
+            (packed_entry_kernel) on the SPATIAL input; inner convs run
+            on the s2d layout (s2d_kernel_3x3); the pool is elementwise
+            maxima of the 4 phase channel groups. Exact same function
+            as block()+pool() incl. SAME zero-padding (pad + phase
+            masks); pinned by tests/test_backbone.py.
+
+            Returns (pre-pool s2d activations at block origin 0 — the
+            skip connection, in s2d layout — and the pooled SPATIAL
+            map at the next scale)."""
+            h_in, w_in = h.shape[1], h.shape[2]
+            hp = jnp.pad(h, ((0, 0), (num, num), (num, num), (0, 0)))
+            hs = None
+            origin = 0
+            for i in range(num):
+                cin = hp.shape[-1] if i == 0 else ch
+                if flat_params:
+                    kern = self.param(f"{name}_{i}_kernel",
+                                      nn.initializers.lecun_normal(),
+                                      (3, 3, cin, ch), jnp.float32)
+                    bias = self.param(f"{name}_{i}_bias",
+                                      nn.initializers.zeros, (ch,),
+                                      jnp.float32)
+                else:
+                    kern, bias = _ConvParams(
+                        ch, name=f"{name}_{i}")(cin)
+                if i == 0:
+                    hs = jax.lax.conv_general_dilated(
+                        hp, packed_entry_kernel(kern.astype(self.dtype)),
+                        (2, 2), "VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    origin = -(num - 1)
+                else:
+                    hs = jax.lax.conv_general_dilated(
+                        hs, s2d_kernel_3x3(kern.astype(self.dtype)),
+                        (1, 1), "VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    origin += 1
                 hs = nn.relu(hs + jnp.tile(bias, 4).astype(self.dtype))
-                if i < n - 1:
+                if i < num - 1:
                     hs = _zero_outside(hs, 0, h_in, 0, w_in,
                                        origin, origin)
-            # phase max-pool as elementwise maxima of the 4 contiguous
-            # C-lane channel groups (phase-major layout) — no
-            # reshape-(2,2,C)-reduce relayout; bit-exact and faster
-            # (results_r03/stem_bisect.json, slicemax/exact_glue arms)
-            c1p = jnp.maximum(
+            pooled = jnp.maximum(
                 jnp.maximum(hs[..., 0 * ch:1 * ch],
                             hs[..., 1 * ch:2 * ch]),
                 jnp.maximum(hs[..., 2 * ch:3 * ch],
                             hs[..., 3 * ch:4 * ch]))
-            c1 = None
+            return hs, pooled
+
+        c1 = c2 = None
+        c2_s2d = None
+        if use_s2d:
+            # full-res c1 is never materialized (unused at
+            # decode_stride 2)
+            _, c1p = s2d_block(x, *cfg.conv1, name="conv1",
+                               flat_params=True)
         else:
             c1 = block(x, *cfg.conv1, name="conv1")
             c1p = pool(c1)
-        c2 = block(c1p, *cfg.conv2, name="conv2")
-        c3 = block(pool(c2), *cfg.conv3, name="conv3")
+        if use_s2d_int:
+            c2_s2d, c2p = s2d_block(c1p, *cfg.conv2, name="conv2",
+                                    flat_params=False)
+        else:
+            c2 = block(c1p, *cfg.conv2, name="conv2")
+            c2p = pool(c2)
+        c3 = block(c2p, *cfg.conv3, name="conv3")
         c4 = block(pool(c3), *cfg.conv4, name="conv4")
 
         if not cfg.pyramid:
@@ -304,6 +364,33 @@ class VggPyramid(nn.Module):
         u3 = up(c4, cfg.conv3[1], "upconv3")
         f3 = block(jnp.concatenate([c3, u3], axis=-1), 1, cfg.conv2[1],
                    name="pyramid_fusion3")
+        if use_s2d_int:
+            # packed decoder: the subpixel transpose conv's phase-major
+            # output IS the s2d layout of the upsampled map — no
+            # depth-to-space; the skip (c2_s2d) is already in s2d
+            # layout; the fusion conv runs as one 2x2 s2d conv (kernel
+            # permuted for the channel-concat layout). The shift-by-one
+            # kernel convention needs the input at spatial origin -1:
+            # the phase-shuffle pad provides it without a relayout.
+            ch = cfg.conv1[1]
+            cu = cfg.conv2[1]
+            u2 = SubpixelConvTranspose(cu, dtype=self.dtype,
+                                       packed=True, name="upconv2")(f3)
+            u2 = nn.relu(u2)
+            xcat = jnp.concatenate([s2d_pad1_top_left(c2_s2d, cu),
+                                    s2d_pad1_top_left(u2, cu)], axis=-1)
+            kern, bias = _ConvParams(
+                ch, name="pyramid_fusion2_0")(2 * cu)
+            ks = s2d_concat_kernel_3x3(kern.astype(self.dtype),
+                                       (cu, cu))
+            y = jax.lax.conv_general_dilated(
+                xcat, ks, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            f2s = nn.relu(y + jnp.tile(bias, 4).astype(self.dtype))
+            f2 = depth_to_space(f2s, ch)
+            if ph or pw:
+                f2 = f2[:, ph // 2:, pw // 2:]
+            return f2
         u2 = up(f3, cfg.conv2[1], "upconv2")
         f2 = block(jnp.concatenate([c2, u2], axis=-1), 1, cfg.conv1[1],
                    name="pyramid_fusion2")

@@ -80,6 +80,39 @@ def test_s2d_stem_exact_vs_standard():
                                atol=1e-4)
 
 
+def test_s2d_interior_exact_vs_standard():
+    """The full s2d-interior tower (packed entry convs, s2d conv2
+    block, packed subpixel up2 + s2d fusion2 with the phase-shuffle
+    pad) computes EXACTLY the standard tower — including SAME boundary
+    handling and the top-left global pad — with an identical parameter
+    tree (r3 checkpoints load unchanged)."""
+    rng = np.random.RandomState(4)
+    for h, w in ((32, 40), (28, 44)):  # aligned + pad-requiring
+        x = jnp.asarray(rng.rand(2, h, w, 6).astype(np.float32))
+        kw = dict(conv1=(2, 8), conv2=(2, 8))
+        t_std = VggPyramid(_cfg(s2d_stem=False, s2d_interior=False,
+                                **kw), dtype=jnp.float32)
+        t_int = VggPyramid(_cfg(s2d_stem=True, s2d_interior=True,
+                                **kw), dtype=jnp.float32)
+        key = jax.random.PRNGKey(0)
+        v_std = t_std.init(key, x)
+        v_int = t_int.init(key, x)
+        p = dict(v_int["params"])
+        for i in range(2):
+            p[f"conv1_{i}_kernel"] = \
+                v_std["params"][f"conv1_{i}"]["kernel"]
+            p[f"conv1_{i}_bias"] = v_std["params"][f"conv1_{i}"]["bias"]
+        for name in v_std["params"]:
+            if not name.startswith("conv1_"):
+                assert name in v_int["params"], name  # same tree
+                p[name] = v_std["params"][name]
+        out_std = t_std.apply({"params": v_std["params"]}, x)
+        out_int = t_int.apply({"params": p}, x)
+        assert out_int.shape == out_std.shape
+        np.testing.assert_allclose(np.array(out_int),
+                                   np.array(out_std), atol=2e-6)
+
+
 def test_decode_stride_shapes():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(1, 32, 40, 6).astype(np.float32))
