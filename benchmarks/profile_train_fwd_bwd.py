@@ -14,7 +14,7 @@ lives. Prime suspect: the gather-form ROI crops' VJP is a scatter-add
 over B x K x 49 x 4 taps, and TPU scatters serialize.
 
 Run: python benchmarks/profile_train_fwd_bwd.py [max_log2]
-Writes results_r03/train_fwd_bwd.json.
+Writes results_r04/train_fwd_bwd.json.
 """
 import json
 import os
@@ -52,8 +52,8 @@ results = {}
 
 
 def dump():
-    os.makedirs("results_r03", exist_ok=True)
-    with open("results_r03/train_fwd_bwd.json", "w") as f:
+    os.makedirs("results_r04", exist_ok=True)
+    with open("results_r04/train_fwd_bwd.json", "w") as f:
         json.dump(results, f, indent=2)
 
 
@@ -97,4 +97,4 @@ for log2 in range(0, MAX_LOG2 + 1):
     print(f"B={b}: {row}", flush=True)
     dump()
 
-print("wrote results_r03/train_fwd_bwd.json")
+print("wrote results_r04/train_fwd_bwd.json")

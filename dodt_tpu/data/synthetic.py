@@ -240,12 +240,19 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
                            ground_points: int = 3000,
                            object_classes=("Car",),
                            keep_in_view: bool = True,
-                           z_range=(7.0, 60.0)) -> str:
+                           z_range=(7.0, 60.0),
+                           video_specs=None) -> str:
     """Write a synthetic KITTI tracking dataset under `root`.
 
     Layout: root/training/{velodyne,image_02,calib,label_02,oxts,planes}
     plus root/train.txt & root/val.txt split files in the reference's
     grouped `VV/FFFF`-lines-per-video format.
+
+    `video_specs`: optional list of per-video overrides of the scene
+    knobs (num_cars / points_per_car / ego_speed / z_range / ...), so
+    one fixture can hold a DIVERSE set of scenes — the synthetic
+    pretraining corpus for the transfer flow varies scene statistics
+    per video this way.
     """
     import cv2
 
@@ -253,13 +260,14 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
     scenes = []
     split_groups = []
     for vid in range(num_videos):
-        scene = SyntheticScene(vid, num_frames, num_cars=num_cars,
-                               seed=seed, ego_speed=ego_speed,
-                               points_per_car=points_per_car,
-                               ground_points=ground_points,
-                               object_classes=object_classes,
-                               keep_in_view=keep_in_view,
-                               z_range=z_range)
+        knobs = dict(num_cars=num_cars, ego_speed=ego_speed,
+                     points_per_car=points_per_car,
+                     ground_points=ground_points,
+                     object_classes=object_classes,
+                     keep_in_view=keep_in_view, z_range=z_range)
+        if video_specs:
+            knobs.update(video_specs[vid % len(video_specs)])
+        scene = SyntheticScene(vid, num_frames, seed=seed, **knobs)
         scenes.append(scene)
         vdir = os.path.join(base, "velodyne", f"{vid:04d}")
         idir = os.path.join(base, "image_02", f"{vid:04d}")

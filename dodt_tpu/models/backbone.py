@@ -338,6 +338,10 @@ class VggPyramid(nn.Module):
         else:
             c2 = block(c1p, *cfg.conv2, name="conv2")
             c2p = pool(c2)
+        # conv3/conv4 stay standard: at 128/256 channels the 3x3 convs
+        # already fill the MXU, so the s2d form's 1.78x FLOP overhead
+        # dominates (measured: conv3-s2d regressed the keyframe
+        # 13.33 -> 13.78 ms and raised pair GFLOPs 588 -> 663)
         c3 = block(c2p, *cfg.conv3, name="conv3")
         c4 = block(pool(c3), *cfg.conv4, name="conv4")
 

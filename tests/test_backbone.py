@@ -89,7 +89,8 @@ def test_s2d_interior_exact_vs_standard():
     rng = np.random.RandomState(4)
     for h, w in ((32, 40), (28, 44)):  # aligned + pad-requiring
         x = jnp.asarray(rng.rand(2, h, w, 6).astype(np.float32))
-        kw = dict(conv1=(2, 8), conv2=(2, 8))
+        # conv3=(3, ...) covers the 3-conv s2d block (production shape)
+        kw = dict(conv1=(2, 8), conv2=(2, 8), conv3=(3, 16))
         t_std = VggPyramid(_cfg(s2d_stem=False, s2d_interior=False,
                                 **kw), dtype=jnp.float32)
         t_int = VggPyramid(_cfg(s2d_stem=True, s2d_interior=True,
