@@ -71,16 +71,16 @@ def dump():
 specs = [
     dict(num_cars=6, points_per_car=384, ego_speed=0.4,
          z_range=(7.0, 60.0)),
-    dict(num_cars=9, points_per_car=256, ego_speed=0.8,
-         z_range=(10.0, 65.0)),
+    dict(num_cars=9, points_per_car=256, ego_speed=0.6,
+         z_range=(8.0, 66.0)),
     dict(num_cars=5, points_per_car=768, ego_speed=0.2,
-         z_range=(7.0, 40.0)),
-    dict(num_cars=10, points_per_car=320, ego_speed=1.2,
-         z_range=(15.0, 68.0)),
-    dict(num_cars=7, points_per_car=512, ego_speed=0.6,
+         z_range=(7.0, 45.0)),
+    dict(num_cars=6, points_per_car=320, ego_speed=1.0,
+         z_range=(10.0, 68.0)),
+    dict(num_cars=7, points_per_car=512, ego_speed=0.5,
          z_range=(7.0, 55.0)),
     dict(num_cars=8, points_per_car=448, ego_speed=0.3,
-         z_range=(20.0, 68.0)),
+         z_range=(14.0, 68.0)),
 ]
 syn_root = tempfile.mkdtemp(prefix="transfer_syn_")
 synthetic.write_tracking_fixture(syn_root, num_videos=len(specs),
