@@ -68,42 +68,55 @@ def dump():
 
 
 # ---- 1: diverse synthetic pretrain set -------------------------------
-specs = [
-    dict(num_cars=6, points_per_car=384, ego_speed=0.4,
-         z_range=(7.0, 60.0)),
-    dict(num_cars=9, points_per_car=256, ego_speed=0.6,
-         z_range=(8.0, 66.0)),
-    dict(num_cars=5, points_per_car=768, ego_speed=0.2,
-         z_range=(7.0, 45.0)),
-    dict(num_cars=6, points_per_car=320, ego_speed=1.0,
-         z_range=(10.0, 68.0)),
-    dict(num_cars=7, points_per_car=512, ego_speed=0.5,
-         z_range=(7.0, 55.0)),
-    dict(num_cars=8, points_per_car=448, ego_speed=0.3,
-         z_range=(14.0, 68.0)),
-]
-syn_root = tempfile.mkdtemp(prefix="transfer_syn_")
-synthetic.write_tracking_fixture(syn_root, num_videos=len(specs),
-                                 num_frames=14, seed=100,
-                                 video_specs=specs)
-
+# TRANSFER_PRE_CK=<dir> resumes from an existing pretrain checkpoint
+# (skips fixture generation + the ~13 min pretrain) and merges into an
+# existing results JSON if one is present.
+PRE_CK = os.environ.get("TRANSFER_PRE_CK")
 cfg_pre = cfg_mod.cars_dt_tracking()
-cfg_pre.dataset.dataset_dir = syn_root
 cfg_pre.dataset.max_points = 32768
-cfg_pre.dataset.video_train_ids = tuple(range(len(specs)))
 cfg_pre.train.checkpoint_interval = PRE_STEPS
 cfg_pre.train.optimizer.initial_lr = 1e-3
-ds_pre = tracking.KittiTrackingDataset(cfg_pre.dataset, split="train")
-print(f"pretrain couples: {len(ds_pre.couples)}")
-model = dt_avod.DtAvodNet(cfg=cfg_pre, cluster_sizes=CLUSTERS)
-pre_ck = tempfile.mkdtemp(prefix="transfer_pre_ck_")
-t_pre = Trainer(cfg_pre, model, ds_pre, pre_ck, batch_size=1)
-_, pre_hist = t_pre.train(max_steps=PRE_STEPS,
-                          log_every=PRE_STEPS // 4)
-print("pretrain:", [(h["step"], round(h["total"], 3))
-                    for h in pre_hist])
-results["pretrain_loss"] = pre_hist
-dump()
+if PRE_CK:
+    if os.path.exists(OUT):
+        prev = json.load(open(OUT))
+        prev["setup"] = results["setup"]
+        results = prev
+    pre_ck = PRE_CK
+    model = dt_avod.DtAvodNet(cfg=cfg_pre, cluster_sizes=CLUSTERS)
+    print(f"resuming from pretrain checkpoint {pre_ck}")
+else:
+    specs = [
+        dict(num_cars=6, points_per_car=384, ego_speed=0.4,
+             z_range=(7.0, 60.0)),
+        dict(num_cars=9, points_per_car=256, ego_speed=0.6,
+             z_range=(8.0, 66.0)),
+        dict(num_cars=5, points_per_car=768, ego_speed=0.2,
+             z_range=(7.0, 45.0)),
+        dict(num_cars=6, points_per_car=320, ego_speed=1.0,
+             z_range=(10.0, 68.0)),
+        dict(num_cars=7, points_per_car=512, ego_speed=0.5,
+             z_range=(7.0, 55.0)),
+        dict(num_cars=8, points_per_car=448, ego_speed=0.3,
+             z_range=(14.0, 68.0)),
+    ]
+    syn_root = tempfile.mkdtemp(prefix="transfer_syn_")
+    synthetic.write_tracking_fixture(syn_root, num_videos=len(specs),
+                                     num_frames=14, seed=100,
+                                     video_specs=specs)
+    cfg_pre.dataset.dataset_dir = syn_root
+    cfg_pre.dataset.video_train_ids = tuple(range(len(specs)))
+    ds_pre = tracking.KittiTrackingDataset(cfg_pre.dataset,
+                                           split="train")
+    print(f"pretrain couples: {len(ds_pre.couples)}")
+    model = dt_avod.DtAvodNet(cfg=cfg_pre, cluster_sizes=CLUSTERS)
+    pre_ck = tempfile.mkdtemp(prefix="transfer_pre_ck_")
+    t_pre = Trainer(cfg_pre, model, ds_pre, pre_ck, batch_size=1)
+    _, pre_hist = t_pre.train(max_steps=PRE_STEPS,
+                              log_every=PRE_STEPS // 4)
+    print("pretrain:", [(h["step"], round(h["total"], 3))
+                        for h in pre_hist])
+    results["pretrain_loss"] = pre_hist
+    dump()
 
 
 def row_of(r, step):

@@ -109,6 +109,12 @@ class FeatureExtractorConfig:
     # depth-to-space — exact same function, wider MXU contractions,
     # zero thin-channel relayouts (requires s2d_stem + the same gates)
     s2d_interior: bool = True
+    # run the standard-layout interior blocks (conv3/conv4/fusion3)
+    # through the fused Pallas conv-chain kernel (ops/conv_chain.py):
+    # whole blocks as VMEM-resident shifted matmuls, one HBM round
+    # trip per block instead of per conv. Same parameter tree; XLA
+    # twin off-TPU; tolerance-level (last-bit bf16) output difference
+    fused_interior: bool = False
 
 
 @dataclass

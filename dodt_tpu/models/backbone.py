@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dodt_tpu.config import FeatureExtractorConfig
+from dodt_tpu.ops.conv_chain import conv_chain
 
 KITTI_IMAGE_MEANS = (92.8403, 97.7996, 93.5843)  # img_feature_extractor.py:8
 
@@ -248,7 +249,12 @@ class VggPyramid(nn.Module):
     pad_rows: int = 0   # unused, kept for config compatibility
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fused: bool | None = None
+                 ) -> jnp.ndarray:
+        """fused=None defers to cfg.fused_interior; True/False is a
+        call-time override (the model enables the fused Pallas interior
+        on eval paths only, mirroring the windowed-ROI eval dispatch).
+        Must be static under nn.remat (static_argnums=(2,))."""
         cfg = self.cfg
         x = x.astype(self.dtype)
         use_s2d = (cfg.s2d_stem and cfg.decode_stride == 2
@@ -259,7 +265,22 @@ class VggPyramid(nn.Module):
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (ph, 0), (pw, 0), (0, 0)))
 
+        use_fused = (cfg.fused_interior if fused is None
+                     else fused) and cfg.norm == "none"
+
         def block(h, num, ch, name):
+            if use_fused:
+                # whole block as one VMEM-resident Pallas conv chain
+                # (shifted matmuls, ops/conv_chain.py); _ConvParams
+                # keeps the param tree identical to nn.Conv
+                ks, bs = [], []
+                cin = h.shape[-1]
+                for i in range(num):
+                    k, b2 = _ConvParams(ch, name=f"{name}_{i}")(cin)
+                    ks.append(k)
+                    bs.append(b2)
+                    cin = ch
+                return conv_chain(h, ks, bs)
             for i in range(num):
                 h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"{name}_{i}")(h)
@@ -342,8 +363,16 @@ class VggPyramid(nn.Module):
         # already fill the MXU, so the s2d form's 1.78x FLOP overhead
         # dominates (measured: conv3-s2d regressed the keyframe
         # 13.33 -> 13.78 ms and raised pair GFLOPs 588 -> 663)
+        # stage taps for the bisect profiler (no-ops unless apply() is
+        # called with mutable=["intermediates"]): the s2d/fused paths
+        # hold parameters in _ConvParams modules, whose captured
+        # "intermediate" is the parameter tuple — these sows are the
+        # real activations
+        self.sow("intermediates", "stage_c2p", c2p)
         c3 = block(c2p, *cfg.conv3, name="conv3")
+        self.sow("intermediates", "stage_c3", c3)
         c4 = block(pool(c3), *cfg.conv4, name="conv4")
+        self.sow("intermediates", "stage_c4", c4)
 
         if not cfg.pyramid:
             # plain VGG (reference bev_vgg.py / img_vgg.py): bilinear
@@ -368,6 +397,7 @@ class VggPyramid(nn.Module):
         u3 = up(c4, cfg.conv3[1], "upconv3")
         f3 = block(jnp.concatenate([c3, u3], axis=-1), 1, cfg.conv2[1],
                    name="pyramid_fusion3")
+        self.sow("intermediates", "stage_f3", f3)
         if use_s2d_int:
             # packed decoder: the subpixel transpose conv's phase-major
             # output IS the s2d layout of the upsampled map — no
