@@ -67,7 +67,7 @@ def probe_times(name, shape, fe_cfg):
 
 
 results = {}
-for fused in (False, True):
+for fused in ((), ("conv4",)):
     bev_cfg = dataclasses.replace(cfg.model.bev_extractor,
                                   fused_interior=fused)
     img_cfg = dataclasses.replace(cfg.model.img_extractor,

@@ -109,12 +109,19 @@ class FeatureExtractorConfig:
     # depth-to-space — exact same function, wider MXU contractions,
     # zero thin-channel relayouts (requires s2d_stem + the same gates)
     s2d_interior: bool = True
-    # run the standard-layout interior blocks (conv3/conv4/fusion3)
-    # through the fused Pallas conv-chain kernel (ops/conv_chain.py):
-    # whole blocks as VMEM-resident shifted matmuls, one HBM round
-    # trip per block instead of per conv. Same parameter tree; XLA
-    # twin off-TPU; tolerance-level (last-bit bf16) output difference
-    fused_interior: bool = False
+    # standard-layout interior blocks to run through the fused Pallas
+    # conv-chain kernel (ops/conv_chain.py): whole blocks as
+    # VMEM-resident shifted matmuls, one HBM round trip per block
+    # instead of per conv. Same parameter tree; XLA twin off-TPU;
+    # tolerance-level (last-bit bf16) output difference. Names from
+    # {"conv3", "conv4", "pyramid_fusion3"}; measured (r4 probe):
+    # the kernel wins only where XLA's conv emitter underperforms at
+    # 256-channel MXU shapes — conv4 — and loses at conv3/fusion3
+    # (results_r04/tower_bisect.json), so dispatch is per-block.
+    fused_interior: Tuple[str, ...] = ()
+    # row-strip height of the fused kernel (16 measured best at the
+    # production conv4 shapes; benchmarks/probe_conv_chain.py)
+    fused_tile_rows: int = 16
 
 
 @dataclass

@@ -249,12 +249,13 @@ class VggPyramid(nn.Module):
     pad_rows: int = 0   # unused, kept for config compatibility
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, fused: bool | None = None
-                 ) -> jnp.ndarray:
-        """fused=None defers to cfg.fused_interior; True/False is a
-        call-time override (the model enables the fused Pallas interior
-        on eval paths only, mirroring the windowed-ROI eval dispatch).
-        Must be static under nn.remat (static_argnums=(2,))."""
+    def __call__(self, x: jnp.ndarray,
+                 fused: Tuple[str, ...] | None = None) -> jnp.ndarray:
+        """fused=None defers to cfg.fused_interior; a tuple of block
+        names is a call-time override (the model passes () on train
+        paths so the fused kernel stays an eval-only dispatch,
+        mirroring the windowed-ROI precedent). Must be static under
+        nn.remat (static_argnums=(2,))."""
         cfg = self.cfg
         x = x.astype(self.dtype)
         use_s2d = (cfg.s2d_stem and cfg.decode_stride == 2
@@ -265,11 +266,12 @@ class VggPyramid(nn.Module):
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (ph, 0), (pw, 0), (0, 0)))
 
-        use_fused = (cfg.fused_interior if fused is None
-                     else fused) and cfg.norm == "none"
+        fused_set = cfg.fused_interior if fused is None else fused
+        if cfg.norm != "none":
+            fused_set = ()
 
         def block(h, num, ch, name):
-            if use_fused:
+            if name in fused_set:
                 # whole block as one VMEM-resident Pallas conv chain
                 # (shifted matmuls, ops/conv_chain.py); _ConvParams
                 # keeps the param tree identical to nn.Conv
@@ -280,7 +282,8 @@ class VggPyramid(nn.Module):
                     ks.append(k)
                     bs.append(b2)
                     cin = ch
-                return conv_chain(h, ks, bs)
+                return conv_chain(h, ks, bs,
+                                  tile_rows=cfg.fused_tile_rows)
             for i in range(num):
                 h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"{name}_{i}")(h)

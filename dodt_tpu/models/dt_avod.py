@@ -283,7 +283,9 @@ class DtAvodNet(nn.Module):
         # remat: tower-internal activations are recomputed in backward
         # instead of stored (config.ModelConfig.remat_towers); identity
         # for forward-only eval
-        Tower = nn.remat(VggPyramid) if m.remat_towers else VggPyramid
+        # static_argnums: the fused block-name tuple (arg 2; 0 = self)
+        Tower = (nn.remat(VggPyramid, static_argnums=(2,))
+                 if m.remat_towers else VggPyramid)
         self.bev_tower = Tower(m.bev_extractor, dtype=dtype,
                                pad_rows=pad_rows_for_stride(bev_h),
                                name="bev_vgg_pyr")
@@ -384,8 +386,12 @@ class DtAvodNet(nn.Module):
         bev_flat = bev_input.reshape((b * f,) + bev_input.shape[2:])
         img_flat = preprocess_image(
             batch["image"].reshape((b * f,) + batch["image"].shape[2:]))
-        bev_feats = self.bev_tower(bev_flat).astype(jnp.float32)
-        img_feats = self.img_tower(img_flat).astype(jnp.float32)
+        # fused Pallas conv-chain interior dispatches on eval paths
+        # only (windowed-ROI precedent): its custom VJP replays the
+        # XLA twin, so a train forward would pay Pallas + XLA
+        fused = () if mode == "train" else None
+        bev_feats = self.bev_tower(bev_flat, fused).astype(jnp.float32)
+        img_feats = self.img_tower(img_flat, fused).astype(jnp.float32)
         # upsample the (1-ch) RPN bottleneck back to full BEV res so the
         # anchor lattice stays integer-periodic (decode_stride = 2)
         bev_bottle = _resize_to(self.bev_bottleneck(bev_feats),

@@ -86,7 +86,8 @@ class StackAvodNet(nn.Module):
         dtype = jnp.bfloat16 if m.tower_dtype == "bfloat16" \
             else jnp.float32
         # remat towers in training backward (see dt_avod.DtAvodNet.setup)
-        Tower = nn.remat(VggPyramid) if m.remat_towers else VggPyramid
+        Tower = (nn.remat(VggPyramid, static_argnums=(2,))
+                 if m.remat_towers else VggPyramid)
         self.bev_tower = Tower(m.bev_extractor, dtype=dtype,
                                name="bev_vgg_pyr")
         self.int_bev_tower = Tower(m.bev_extractor, dtype=dtype,
@@ -158,16 +159,18 @@ class StackAvodNet(nn.Module):
                     ii, anc, bev_extents, ku.voxel_size,
                     ku.density_threshold))(integral, anchors)  # (B, N)
 
-        # towers
+        # towers (fused Pallas interior on eval paths only — see
+        # dt_avod.DtAvodNet.__call__)
+        fused = () if mode == "train" else None
         bev_feats = self.bev_tower(
             frame_maps.features.reshape(
-                (b * f,) + frame_maps.features.shape[2:])
+                (b * f,) + frame_maps.features.shape[2:]), fused
         ).astype(jnp.float32)
         int_feats = self.int_bev_tower(
-            int_maps.features).astype(jnp.float32)
+            int_maps.features, fused).astype(jnp.float32)
         img_flat = preprocess_image(
             batch["image"].reshape((b * f,) + batch["image"].shape[2:]))
-        img_feats = self.img_tower(img_flat).astype(jnp.float32)
+        img_feats = self.img_tower(img_flat, fused).astype(jnp.float32)
 
         int_bottle = _resize_to(self.bev_bottleneck(int_feats),
                                 ku.bev_shape)             # (B, H, W, 1)

@@ -56,7 +56,8 @@ def conv_chain_xla(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
 
 
 def _chain_kernel(x_hbm, *refs, n_convs: int, th: int, w_pad: int,
-                  h_real: int, chans: Tuple[int, ...], out_dtype):
+                  h_real: int, w_real: int, chans: Tuple[int, ...],
+                  out_dtype):
     """One row-strip through the whole chain.
 
     refs layout: [w_0, b_0, ..., w_{n-1}, b_{n-1}, out_ref,
@@ -72,8 +73,9 @@ def _chain_kernel(x_hbm, *refs, n_convs: int, th: int, w_pad: int,
     w_refs = refs[0:2 * n_convs:2]
     b_refs = refs[1:2 * n_convs:2]
     out_ref = refs[2 * n_convs]
-    scr = [refs[2 * n_convs + 1], refs[2 * n_convs + 2]]
-    sem = refs[2 * n_convs + 3]
+    scr_in = refs[2 * n_convs + 1]   # exact input lane width (DMA dst)
+    scr = [refs[2 * n_convs + 2], refs[2 * n_convs + 3]]
+    sem = refs[2 * n_convs + 4]
 
     # batch is a native grid dim (vmap does not slice manual-DMA ANY
     # refs), rows the second
@@ -81,53 +83,55 @@ def _chain_kernel(x_hbm, *refs, n_convs: int, th: int, w_pad: int,
     i = pl.program_id(1)
     rows = th + 2 * n_convs
     # leading zero guard row (scratch persists across grid steps)
+    scr_in[0:w_pad, :] = jnp.zeros((w_pad, scr_in.shape[1]),
+                                   scr_in.dtype)
     scr[0][0:w_pad, :] = jnp.zeros((w_pad, scr[0].shape[1]),
                                    scr[0].dtype)
     scr[1][0:w_pad, :] = jnp.zeros((w_pad, scr[1].shape[1]),
                                    scr[1].dtype)
+    # full-lane destination; w_pad is 8-aligned so the sublane offset
+    # and size meet Mosaic's DMA tiling constraint
     dma = pltpu.make_async_copy(
         x_hbm.at[bi, pl.ds(i * th * w_pad, rows * w_pad), :],
-        scr[0].at[pl.ds(w_pad, rows * w_pad), pl.ds(0, chans[0])],
+        scr_in.at[pl.ds(w_pad, rows * w_pad), :],
         sem)
     dma.start()
     dma.wait()
 
-    cur = 0
     for l in range(n_convs):
         ci, co = chans[l], chans[l + 1]
         rows_out = rows - 2
         m = rows_out * w_pad
+        src = scr_in if l == 0 else scr[(l - 1) % 2]
         w_l = w_refs[l][...]                     # (9, Ci, Co)
         acc = jnp.zeros((m, co), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 off = dy * w_pad + dx - 1
-                xs = scr[cur][w_pad + off:w_pad + off + m, 0:ci]
+                xs = src[w_pad + off:w_pad + off + m, 0:ci]
                 acc = acc + jnp.dot(
                     xs, w_l[dy * 3 + dx],
                     preferred_element_type=jnp.float32)
         y = jax.nn.relu(acc + b_refs[l][...].astype(jnp.float32))
-        # Re-zero the padding positions. Columns: they hold row-wrap
-        # garbage. Rows: a SAME conv pads each conv's INPUT with
-        # zeros, but the halo computes conv-of-zeros at rows outside
-        # the image — relu(bias) != 0 — so halo rows beyond the image
-        # top/bottom must be forced back to the exact zeros the next
-        # conv's padding provides.
+        # Re-zero the padding positions. Columns: cols 0 and > w_real
+        # hold row-wrap garbage / edge leakage. Rows: a SAME conv pads
+        # each conv's INPUT with zeros, but the halo computes
+        # conv-of-zeros at rows outside the image — relu(bias) != 0 —
+        # so halo rows beyond the image top/bottom must be forced back
+        # to the exact zeros the next conv's padding provides.
         flat = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         col = flat % w_pad
         # spatial row of output row r: strip start (i*th - n_convs in
         # original coords) advances by one per conv in the chain
         row_sp = i * th - n_convs + (l + 1) + flat // w_pad
-        ok = ((col >= 1) & (col < w_pad - 1) &
+        ok = ((col >= 1) & (col <= w_real) &
               (row_sp >= 0) & (row_sp < h_real))
         y = jnp.where(ok, y, 0.0)
         y = y.astype(out_dtype)
         if l == n_convs - 1:
             out_ref[0] = y
         else:
-            nxt = 1 - cur
-            scr[nxt][w_pad:w_pad + m, 0:co] = y
-            cur = nxt
+            scr[l % 2][w_pad:w_pad + m, 0:co] = y
         rows = rows_out
 
 
@@ -145,29 +149,42 @@ def conv_chain_pallas(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
         x = x[None]
     bsz, h, w, ci0 = x.shape
     n = len(kernels)
-    chans = (ci0,) + tuple(k.shape[3] for k in kernels)
-    cmax = max(chans)
-    w_pad = w + 2
+    # Mosaic's lane tiling is 128: a DMA may not slice the channel
+    # (lane) dim at sub-128 granularity, so pad the INPUT channels up
+    # to a 128 multiple (the padded weight rows are zero — exact
+    # no-op) and DMA full lanes.
+    ci_pad = -(-ci0 // 128) * 128
+    chans = (ci_pad,) + tuple(k.shape[3] for k in kernels)
+    cmax = max(chans[1:])
+    # Mosaic DMAs need 8-aligned sublane offsets/sizes: round the
+    # padded width up to a multiple of 8 so every strip's flattened
+    # row count is 8-aligned; the extra columns are masked zeros
+    w_pad = -(-(w + 2) // 8) * 8
     th = tile_rows
     gh = -(-h // th)
     hp = gh * th
 
     # flattened (rows, C) layout with zero W-pad columns and n halo
     # rows top/bottom (+ bottom fill to the strip grid)
-    xp = jnp.pad(x, ((0, 0), (n, n + (hp - h)), (1, 1), (0, 0)))
-    x2 = xp.reshape(bsz, (hp + 2 * n) * w_pad, ci0)
+    xp = jnp.pad(x, ((0, 0), (n, n + (hp - h)),
+                     (1, w_pad - w - 1), (0, ci_pad - ci0)))
+    x2 = xp.reshape(bsz, (hp + 2 * n) * w_pad, ci_pad)
 
     args = []
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-    for k, b in zip(kernels, biases):
-        args.append(k.astype(x.dtype).reshape(9, k.shape[2], k.shape[3]))
+    for l, (k, b) in enumerate(zip(kernels, biases)):
+        k9 = k.astype(x.dtype).reshape(9, k.shape[2], k.shape[3])
+        if l == 0 and ci_pad != ci0:
+            k9 = jnp.pad(k9, ((0, 0), (0, ci_pad - ci0), (0, 0)))
+        args.append(k9)
         args.append(b.astype(jnp.float32).reshape(1, -1))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
         functools.partial(_chain_kernel, n_convs=n, th=th, w_pad=w_pad,
-                          h_real=h, chans=chans, out_dtype=x.dtype),
+                          h_real=h, w_real=w, chans=chans,
+                          out_dtype=x.dtype),
         grid=(bsz, gh),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th * w_pad, chans[-1]),
@@ -175,9 +192,18 @@ def conv_chain_pallas(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hp * w_pad, chans[-1]),
                                        x.dtype),
+        # the unrolled tap slices + f32 accumulators overflow the
+        # default 16M scoped-vmem budget; v5e has 128M physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[
             # 1 leading zero guard row + 1 trailing row: the
-            # (dy=2, dx=2) tap reads one element past the data
+            # (dy=2, dx=2) tap reads one element past the data.
+            # scr_in carries the exact input lane width so the DMA
+            # writes full lanes; the ping-pong pair carries the conv
+            # widths
+            pltpu.VMEM(((2 + th + 2 * n) * w_pad, ci_pad), x.dtype),
             pltpu.VMEM(((2 + th + 2 * n) * w_pad, cmax), x.dtype),
             pltpu.VMEM(((2 + th + 2 * n) * w_pad, cmax), x.dtype),
             pltpu.SemaphoreType.DMA,

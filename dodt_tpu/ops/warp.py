@@ -12,6 +12,7 @@ of a (H/2, W/2, C) map instead of a full tower re-encode.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,26 +28,9 @@ def bev_pixel_from_xz(x, z, bev_extents, h: int, w: int):
     return row, col
 
 
-def warp_bev_features(feats: jnp.ndarray, a2, b2,
-                      bev_extents) -> jnp.ndarray:
-    """Resample a BEV feature map under a 2D affine coordinate map.
-
-    Args:
-      feats: (H, W, C) feature map of the SOURCE frame.
-      a2, b2: (2, 2) and (2,) such that the source-frame metric
-        coordinates of an output location are
-        [x_src, z_src] = a2 @ [x_dst, z_dst] + b2.
-      bev_extents: [[x_min, x_max], [z_min, z_max]].
-
-    Returns:
-      (H, W, C) map in the destination frame; out-of-range samples are
-      zero (no data there).
-    """
-    h, w, _ = feats.shape
-    ae = np.asarray(bev_extents, np.float32)
-    a2 = jnp.asarray(a2, jnp.float32)
-    b2 = jnp.asarray(b2, jnp.float32)
-
+def _src_grid(h: int, w: int, a2, b2, ae):
+    """Source-frame (row, col) sample coordinates of every destination
+    pixel under the affine metric map, plus the in-range mask."""
     rows = jnp.arange(h, dtype=jnp.float32)
     cols = jnp.arange(w, dtype=jnp.float32)
     # destination pixel centers in metric coords
@@ -56,17 +40,82 @@ def warp_bev_features(feats: jnp.ndarray, a2, b2,
     x_src = a2[0, 0] * xg + a2[0, 1] * zg + b2[0]
     z_src = a2[1, 0] * xg + a2[1, 1] * zg + b2[1]
     r_src, c_src = bev_pixel_from_xz(x_src, z_src, ae, h, w)
-
     inside = ((r_src >= 0) & (r_src <= h - 1) &
               (c_src >= 0) & (c_src <= w - 1))
+    return r_src, c_src, inside
+
+
+def warp_bev_features(feats: jnp.ndarray, a2, b2, bev_extents,
+                      method: str = "auto") -> jnp.ndarray:
+    """Resample a BEV feature map under a 2D affine coordinate map.
+
+    Args:
+      feats: (H, W, C) feature map of the SOURCE frame.
+      a2, b2: (2, 2) and (2,) such that the source-frame metric
+        coordinates of an output location are
+        [x_src, z_src] = a2 @ [x_dst, z_dst] + b2.
+      bev_extents: [[x_min, x_max], [z_min, z_max]].
+      method: "gather4" — four f32 corner gathers (the reference
+        formulation); "packed" — ONE gather of a 4C neighbor-packed
+        map in bf16 (TPU gathers are descriptor-bound: one gather row
+        per output element beats four at 2.1x, and the payload dtype
+        matches the towers' bf16 compute — measured
+        results_r04/warp_forms.json, 4.86 -> 2.29 ms at 352x400x64);
+        "auto" — packed on TPU, gather4 elsewhere. packed==gather4
+        exactly at f32; the shipped bf16 payload differs at bf16
+        resolution (AP/MOTA equality pinned by benchmarks/ab_warp.py).
+
+    Returns:
+      (H, W, C) map in the destination frame; out-of-range samples are
+      zero (no data there).
+    """
+    if method == "auto":
+        method = ("packed" if jax.default_backend() == "tpu"
+                  else "gather4")
+    h, w, c = feats.shape
+    ae = np.asarray(bev_extents, np.float32)
+    a2 = jnp.asarray(a2, jnp.float32)
+    b2 = jnp.asarray(b2, jnp.float32)
+    r_src, c_src, inside = _src_grid(h, w, a2, b2, ae)
     r = jnp.clip(r_src, 0.0, h - 1)
-    c = jnp.clip(c_src, 0.0, w - 1)
+    cc = jnp.clip(c_src, 0.0, w - 1)
     r0 = jnp.floor(r).astype(jnp.int32)
-    c0 = jnp.floor(c).astype(jnp.int32)
+    c0 = jnp.floor(cc).astype(jnp.int32)
+
+    if method == "packed":
+        dt = jnp.bfloat16
+        f = feats.astype(dt)
+        # neighbor-packed map: nb[r, c] = (f[r,c], f[r,c+1],
+        # f[r+1,c], f[r+1,c+1]) — built with two shifted zero-pads
+        # (fused elementwise copies), so the bilinear needs exactly
+        # one gather row per output element
+        fr_ = jnp.concatenate([f[:, 1:], jnp.zeros_like(f[:, :1])], 1)
+        top = jnp.concatenate([f, fr_], -1)                 # (H, W, 2C)
+        bot = jnp.concatenate([top[1:], jnp.zeros_like(top[:1])], 0)
+        nb = jnp.concatenate([top, bot], -1)                # (H, W, 4C)
+        fr = (r - r0)[..., None].astype(dt)
+        fc = (cc - c0)[..., None].astype(dt)
+        g = nb[r0, c0]
+        tl, tr = g[..., 0:c], g[..., c:2 * c]
+        bl, br = g[..., 2 * c:3 * c], g[..., 3 * c:4 * c]
+        # clamp-correct: at the last row/col the packed neighbor is
+        # the zero pad, but bilinear with index min(i0+1, n-1) wants
+        # the clamped sample (fr/fc are 0 there, but keep it exact)
+        edge_c = (c0 == w - 1)[..., None]
+        tr = jnp.where(edge_c, tl, tr)
+        br = jnp.where(edge_c, bl, br)
+        edge_r = (r0 == h - 1)[..., None]
+        bl = jnp.where(edge_r, tl, bl)
+        br = jnp.where(edge_r, tr, br)
+        topv = tl + (tr - tl) * fc
+        botv = bl + (br - bl) * fc
+        out = topv + (botv - topv) * fr
+        return (out * inside[..., None]).astype(feats.dtype)
+
     r1 = jnp.minimum(r0 + 1, h - 1)
     c1 = jnp.minimum(c0 + 1, w - 1)
     fr = (r - r0)[..., None]
-    fc = (c - c0)[..., None]
+    fc = (cc - c0)[..., None]
     tl = feats[r0, c0]
     tr = feats[r0, c1]
     bl = feats[r1, c0]

@@ -84,9 +84,10 @@ def test_backbone_fused_interior_same_function():
     this pins the wiring + param-tree compatibility)."""
     cfg = FeatureExtractorConfig(conv1=(1, 8), conv2=(1, 8),
                                  conv3=(2, 16), conv4=(2, 16))
-    cfg_f = FeatureExtractorConfig(conv1=(1, 8), conv2=(1, 8),
-                                   conv3=(2, 16), conv4=(2, 16),
-                                   fused_interior=True)
+    cfg_f = FeatureExtractorConfig(
+        conv1=(1, 8), conv2=(1, 8), conv3=(2, 16), conv4=(2, 16),
+        fused_interior=("conv3", "conv4", "pyramid_fusion3"),
+        fused_tile_rows=8)
     x = jnp.asarray(np.random.RandomState(3).rand(1, 48, 64, 6),
                     jnp.float32)
     tower = VggPyramid(cfg, dtype=jnp.float32)

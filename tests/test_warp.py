@@ -54,6 +54,33 @@ def test_warp_rotation_oracle():
     assert out[int(round(row)), int(round(col)), 0] > 0.9
 
 
+def test_warp_packed_matches_gather4():
+    """The packed single-gather TPU form is the same bilinear resample:
+    its only deviation from the four-gather f32 form is the bf16
+    payload, so it must agree to bf16 resolution everywhere (and the
+    zero-padded packing edges must not leak — exercised by a transform
+    that samples the last row/col)."""
+    rng = np.random.RandomState(7)
+    f = jnp.asarray(rng.rand(40, 36, 16).astype(np.float32))
+    th = np.radians(4.0)
+    a2 = np.array([[np.cos(th), -np.sin(th)],
+                   [np.sin(th), np.cos(th)]], np.float32)
+    b2 = np.array([0.3, -0.9], np.float32)
+    ref = np.array(warp_bev_features(f, a2, b2, EXT, method="gather4"))
+    out = np.array(warp_bev_features(f, a2, b2, EXT, method="packed"))
+    np.testing.assert_allclose(out, ref, atol=1.5e-2)
+    # identity transform: fr = fc = 0 everywhere, so only the bf16
+    # rounding of the payload remains (compared against gather4, which
+    # shares the float-noise boundary zeroing of the inside mask)
+    ident = np.eye(2, dtype=np.float32)
+    zero = np.zeros(2, np.float32)
+    ref_i = np.array(warp_bev_features(f, ident, zero, EXT,
+                                       method="gather4"))
+    out_i = np.array(warp_bev_features(f, ident, zero, EXT,
+                                       method="packed"))
+    np.testing.assert_allclose(out_i, ref_i, atol=8e-3)
+
+
 def test_transform_anchors_translation_and_rotation():
     anchors = jnp.asarray([[1.0, 1.5, 4.0, 3.9, 1.5, 1.6]], jnp.float32)
     # pure translation
