@@ -164,11 +164,25 @@ def main():
     device_sync(out["final_boxes_3d"])
     stream_ego_dt = (time.perf_counter() - t0) / n_iters
 
-    # ---- MFU: XLA-counted model flops / (measured time x chip peak) -
+    # ---- MFU: XLA-counted model flops / (measured time x chip peak).
+    # Count flops on the all-XLA twin (fused_interior=()): XLA's cost
+    # analysis cannot see inside Pallas kernels, so lowering the fused
+    # model would under-count exactly the convs the kernel runs and
+    # make the faster path report a LOWER MFU.
     mfu = None
     flops = None
     try:
-        ca = (apply_fn.lower(variables, batch, train=False, mode="val")
+        import dataclasses as _dc
+        cfg_x = cars_dt_tracking()
+        cfg_x.dataset.max_points = cfg.dataset.max_points
+        cfg_x.model.bev_extractor = _dc.replace(
+            cfg_x.model.bev_extractor, fused_interior=())
+        cfg_x.model.img_extractor = _dc.replace(
+            cfg_x.model.img_extractor, fused_interior=())
+        model_x = DtAvodNet(cfg=cfg_x, cluster_sizes=DEFAULT_CAR_CLUSTERS)
+        apply_x = jax.jit(model_x.apply,
+                          static_argnames=("train", "mode"))
+        ca = (apply_x.lower(variables, batch, train=False, mode="val")
               .compile().cost_analysis())
         if isinstance(ca, (list, tuple)):
             ca = ca[0]

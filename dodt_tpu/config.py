@@ -118,7 +118,7 @@ class FeatureExtractorConfig:
     # the kernel wins only where XLA's conv emitter underperforms at
     # 256-channel MXU shapes — conv4 — and loses at conv3/fusion3
     # (results_r04/tower_bisect.json), so dispatch is per-block.
-    fused_interior: Tuple[str, ...] = ()
+    fused_interior: Tuple[str, ...] = ("conv4",)
     # row-strip height of the fused kernel (16 measured best at the
     # production conv4 shapes; benchmarks/probe_conv_chain.py)
     fused_tile_rows: int = 16
