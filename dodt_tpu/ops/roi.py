@@ -120,6 +120,12 @@ def auto_method(num_boxes: int, crop_size: int, image_shape,
             and rowred_bytes <= 128 * 1024 * 1024 else "gather")
 
 
+# rowred-byte threshold above which the matmul-form VJP scans proposal
+# chunks instead of materializing (N, S, W, C) at once (tests shrink it
+# to force the chunked path at small shapes)
+_BWD_CHUNK_BYTES = 64 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _crop_gather_mmbwd(image, boxes_norm, crop_size):
     """Gather-form forward with the matmul form's VJP.
@@ -145,10 +151,38 @@ def _crop_gather_mmbwd_fwd(image, boxes_norm, crop_size):
 
 def _crop_gather_mmbwd_bwd(crop_size, res, g):
     image, boxes_norm = res
-    _, vjp = jax.vjp(
-        lambda im, bx: crop_and_resize_matmul(im, bx, crop_size),
-        image, boxes_norm)
-    return vjp(g.astype(image.dtype))
+    g = g.astype(image.dtype)
+    n = boxes_norm.shape[0]
+    h, w, c = image.shape
+    # The matmul-form VJP replays the forward, materializing rowred
+    # (N, S, W, C). Under vmap over (batch, frame) that single
+    # intermediate is what killed B=8 training (bf16[8,2,1024,7,600,32]
+    # = 17.6 GB compile-time OOM, results_r04/train_batched.json). When
+    # the un-chunked rowred would be large, scan proposal chunks
+    # instead: dImage accumulates across chunks (f32), box grads
+    # concatenate; FLOPs unchanged, live memory drops N/chunk-fold.
+    chunk = 128
+    rowred_bytes = (n * crop_size * w * c
+                    * jnp.dtype(image.dtype).itemsize)
+    if n <= chunk or n % chunk or rowred_bytes <= _BWD_CHUNK_BYTES:
+        _, vjp = jax.vjp(
+            lambda im, bx: crop_and_resize_matmul(im, bx, crop_size),
+            image, boxes_norm)
+        return vjp(g)
+
+    def body(dimg, args):
+        bx, gc = args
+        _, vjp = jax.vjp(
+            lambda im, b: crop_and_resize_matmul(im, b, crop_size),
+            image, bx)
+        dim, dbx = vjp(gc)
+        return dimg + dim.astype(jnp.float32), dbx
+
+    dimg, dbox = jax.lax.scan(
+        body, jnp.zeros((h, w, c), jnp.float32),
+        (boxes_norm.reshape(n // chunk, chunk, -1),
+         g.reshape((n // chunk, chunk) + g.shape[1:])))
+    return dimg.astype(image.dtype), dbox.reshape(n, -1)
 
 
 _crop_gather_mmbwd.defvjp(_crop_gather_mmbwd_fwd, _crop_gather_mmbwd_bwd)

@@ -260,6 +260,34 @@ def test_crop_gather_mmbwd_vjp_matches_autodiff():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_crop_gather_mmbwd_vjp_chunked_matches_unchunked(monkeypatch):
+    """The proposal-chunked backward (the B=8 train fix: the unchunked
+    matmul-form VJP materializes rowred (N, S, W, C), 17.6 GB under
+    vmap at B=8) must produce the same cotangents as the unchunked
+    path. Threshold shrunk to force chunking at test shapes; N=256 is
+    a chunk multiple so the scan branch is taken."""
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(24, 32, 5).astype(np.float32))
+    boxes = jnp.asarray(
+        rng.uniform(0.05, 0.45, (256, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].add(0.4)
+    g = jnp.asarray(rng.rand(256, 7, 7, 5).astype(np.float32))
+
+    def grads():
+        _, vjp = jax.vjp(
+            lambda im, bx: roi.crop_and_resize(
+                im, bx, 7, method="gather_mmbwd"), img, boxes)
+        return vjp(g)
+
+    di_un, db_un = grads()
+    monkeypatch.setattr(roi, "_BWD_CHUNK_BYTES", 0)
+    di_ch, db_ch = grads()
+    np.testing.assert_allclose(np.array(di_ch), np.array(di_un),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.array(db_ch), np.array(db_un),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_crop_gather_mmbwd_vjp_under_vmap():
     """vmapped custom VJP (the model applies it under two vmaps)."""
     rng = np.random.RandomState(8)
