@@ -33,12 +33,12 @@ def _build(cfg_path, split):
         from dodt_tpu.data.detection import KittiDataset
         from dodt_tpu.models.dt_avod import DtAvodNet
         ds = KittiDataset(cfg.dataset, split=split)
-        clusters = get_clusters(ds, cfg) if hasattr(ds, "couples") \
-            else tuple()
-        from dodt_tpu.data.clusters import DEFAULT_CAR_CLUSTERS
-        clusters = clusters or DEFAULT_CAR_CLUSTERS[
-            :cfg.dataset.num_clusters[0]]
-        model = DtAvodNet(cfg=cfg, cluster_sizes=clusters, num_frames=1)
+        # clusters computed from the single-frame dataset's own labels
+        # (falls back to per-class size priors for unlabeled splits —
+        # reference label_cluster_utils.get_clusters:146 serves
+        # KittiDataset the same way)
+        model = DtAvodNet(cfg=cfg, cluster_sizes=get_clusters(ds, cfg),
+                          num_frames=1)
     elif name == "stack_avod_model":
         from dodt_tpu.data.stack import KittiTrackingStackDataset
         from dodt_tpu.models.stack import StackAvodNet

@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 from dodt_tpu.config import DatasetConfig
+from dodt_tpu.data import augment as aug
 from dodt_tpu.data import kitti
 from dodt_tpu.data.tracking import (KittiTrackingDataset, SampleCouple,
                                     stack_samples)
@@ -105,19 +106,32 @@ class KittiTrackingStackDataset(KittiTrackingDataset):
             cam = kitti.lidar_to_cam_frame(velo, calib).astype(
                 np.float32)
             cam = cam[kitti.filter_to_image_fov(cam, calib, orig_shape)]
-            p, v = self._pad_points(cam, rng)
-            pts_list.append(p)
-            valid_list.append(v)
+            pts_list.append(cam)
             ih, iw = self.cfg.image_shape
             images.append(cv2.resize(img, (iw, ih)))  # uint8
             labels.append(lab)
 
+        # ---- augment (same surface as the couple path, applied after
+        # ego alignment so every frame flips consistently — reference
+        # kitti_aug.py flip family + PCA jitter)
+        p2 = calib.p2.copy()
+        if aug.AUG_FLIPPING in augs:
+            images = [aug.flip_image(im).copy() for im in images]
+            pts_list = [aug.flip_points(p) for p in pts_list]
+            labels = [self._flip_labels(l) if l is not None else None
+                      for l in labels]
+            gp = aug.flip_ground_plane(gp)
+            p2 = aug.flip_calib_p2(p2, orig_shape)
+        if aug.AUG_PCA_JITTER in augs:
+            images = [aug.pca_jitter(im, rng) for im in images]
+
+        padded = [self._pad_points(p, rng) for p in pts_list]
         out = {
-            "points": np.stack(pts_list),            # (F, P, 3)
-            "points_valid": np.stack(valid_list),
+            "points": np.stack([p for p, _ in padded]),  # (F, P, 3)
+            "points_valid": np.stack([v for _, v in padded]),
             "image": np.stack(images),
             "ground_plane": gp.astype(np.float32),
-            "p2": calib.p2.astype(np.float32),
+            "p2": p2.astype(np.float32),
             "orig_image_shape": np.array(orig_shape, np.int32),
         }
         if self.has_labels:
@@ -181,10 +195,18 @@ class KittiTrackingStackDataset(KittiTrackingDataset):
 
     def next_batch(self, batch_size: int, shuffle: bool = True,
                    augment: bool = False) -> dict:
+        """Epoch-shuffled stack batches; with `augment`, each stack
+        samples the configured aug list like the couple path
+        (reference kitti_tracking_stack_dataset load path applies the
+        same kitti_aug surface as the pair dataset)."""
         idxs = []
         for _ in range(batch_size):
             if self._epoch_pos == 0 and shuffle:
                 self._rng.shuffle(self._epoch_order)
             idxs.append(self._epoch_order[self._epoch_pos])
             self._epoch_pos = (self._epoch_pos + 1) % len(self.couples)
-        return stack_samples([self.load_stack(int(i)) for i in idxs])
+        samples = []
+        for i in idxs:
+            augs = self._sample_augs() if augment else ()
+            samples.append(self.load_stack(int(i), augs))
+        return stack_samples(samples)

@@ -62,6 +62,36 @@ def test_build_dispatch(roots, tmp_path):
             assert model.num_frames == frames
 
 
+def test_single_frame_clusters(roots, tmp_path):
+    """Cluster selection for single-frame datasets: a Car config on the
+    Car fixture computes clusters from the dataset's own labels; a
+    Pedestrian config gets pedestrian-sized priors, never Car sizes
+    (reference label_cluster_utils.get_clusters:146 serves KittiDataset
+    and tracking datasets alike)."""
+    _, d_root = roots
+    from dodt_tpu.data.detection import KittiDataset
+    from dodt_tpu.data.clusters import compute_clusters
+
+    cfg = _tiny(d_root, "avod_model")
+    ds = KittiDataset(cfg.dataset, split="train")
+    car = compute_clusters(ds, 2, "Car")
+    assert car.shape == (2, 3)
+    assert 3.0 < car[:, 0].mean() < 5.0      # fixture Car lengths
+
+    # no Pedestrian labels in the fixture -> per-class priors
+    ped = compute_clusters(ds, 1, "Pedestrian")
+    assert ped.shape == (1, 3)
+    assert ped[0, 0] < 1.5                   # not Car-sized
+
+    # end-to-end: a Pedestrian single-frame config through cli._build
+    cfg.dataset.classes = ("Pedestrian",)
+    cfg.dataset.num_clusters = (1,)
+    path = str(tmp_path / "ped_cfg.json")
+    cfg.save(path)
+    _, _, model = cli._build(path, "train")
+    assert model.cluster_sizes[0][0] < 1.5
+
+
 def test_demo_command(roots, tmp_path):
     t_root, _ = roots
     cfg = _tiny(t_root, "dt_avod_model")
