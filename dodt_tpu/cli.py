@@ -63,6 +63,8 @@ def cmd_train(args):
                       batch_size=args.batch_size)
     state, history = trainer.train(max_steps=args.max_steps)
     print(json.dumps(history[-5:], indent=2))
+    if trainer.metrics.path:
+        print(f"train metrics trail: {trainer.metrics.path}")
 
 
 def cmd_evaluate(args):
@@ -80,6 +82,13 @@ def cmd_evaluate(args):
     else:
         results = [ev.run_checkpoint_once(args.step)]
     print(json.dumps(results[-1], indent=2, default=float))
+    # joined train/eval health table when the trainer's metrics trail
+    # exists next to the checkpoints
+    from dodt_tpu.eval import reporting
+    import os
+    tm = reporting.load_train_metrics(
+        os.path.join(args.ckpt_dir, "train_metrics.jsonl"))
+    print(reporting.format_table(results, train_metrics=tm or None))
 
 
 def cmd_infer(args):

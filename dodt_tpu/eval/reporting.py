@@ -26,9 +26,40 @@ def top_checkpoints(results: List[Dict], metric: str = "AP_3D",
     return [{"step": r["step"], metric: s} for s, r in scored[:k]]
 
 
-def format_table(results: List[Dict]) -> str:
+def load_train_metrics(path: str) -> List[Dict]:
+    """Parse the Trainer's JSONL metrics trail (train_metrics.jsonl in
+    the checkpoint dir); tolerates a truncated last line from a killed
+    run."""
+    out = []
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                out.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue   # mid-write kill can truncate the tail
+    return sorted(out, key=lambda r: r["step"])
+
+
+def _train_loss_at(train_metrics: List[Dict], step: int):
+    """Latest logged train total loss at or before `step`."""
+    best = None
+    for rec in train_metrics:
+        if rec["step"] <= step and "total" in rec:
+            best = rec["total"]
+    return best if best is not None else float("nan")
+
+
+def format_table(results: List[Dict],
+                 train_metrics: Optional[List[Dict]] = None) -> str:
     has_health = any("val_health" in r for r in results)
     hdr = "step    AP_3D(E/M/H)          AP_BEV(M)  AP_2D(M)  MOTA"
+    if train_metrics:
+        hdr += "    train_loss"
     if has_health:
         hdr += "    val_loss  recall@0.5"
     lines = [hdr]
@@ -41,6 +72,8 @@ def format_table(results: List[Dict]) -> str:
             f"{r['step']:<7} {ap3['easy']:5.2f}/{ap3['moderate']:5.2f}/"
             f"{ap3['hard']:5.2f}      {apb:6.2f}    {ap2:6.2f}   "
             f"{mota:6.2f}")
+        if train_metrics:
+            row += f"   {_train_loss_at(train_metrics, r['step']):9.3f}"
         if has_health:
             vh = r.get("val_health", {})
             vl = vh.get("val_losses", {}).get("total", float("nan"))

@@ -275,7 +275,8 @@ class CheckpointIO:
 
 class Trainer:
     def __init__(self, cfg: PipelineConfig, model, dataset,
-                 ckpt_dir: str, mesh=None, batch_size: int = 1):
+                 ckpt_dir: str, mesh=None, batch_size: int = 1,
+                 metrics_path: Optional[str] = "auto"):
         self.cfg = cfg
         self.model = model
         self.dataset = dataset
@@ -283,6 +284,16 @@ class Trainer:
         self.batch_size = batch_size
         self.ckpt = CheckpointIO(ckpt_dir,
                                  cfg.train.max_checkpoints_to_keep)
+        # persistent train-time observability (reference TensorBoard
+        # scalar summaries every summary_interval, trainer.py:108-116):
+        # window-averaged losses appended as JSONL next to the
+        # checkpoints, so a crashed/killed run leaves a readable
+        # trainable-health trail on disk. Pass metrics_path=None to
+        # disable (in-memory history only).
+        from dodt_tpu.utils.metrics import MetricsLogger
+        if metrics_path == "auto":
+            metrics_path = os.path.join(ckpt_dir, "train_metrics.jsonl")
+        self.metrics = MetricsLogger(metrics_path)
         if cfg.train.debug_nans:
             # numeric-sanitizer mode (the reference has none; nearest
             # analogue is tf.assert_positive in losses): every jit
@@ -413,6 +424,9 @@ class Trainer:
                     losses["step"] = step
                     losses["wall_s"] = time.time() - t0
                     history.append(losses)
+                    self.metrics.log(step, **{k: v for k, v
+                                              in losses.items()
+                                              if k != "step"})
                 if step % self.cfg.train.checkpoint_interval == 0 or \
                         step == max_steps:
                     self.ckpt.save(step, state)

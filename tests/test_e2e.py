@@ -45,6 +45,15 @@ def test_train_then_eval(world, tmp_path):
     assert all(np.isfinite(h["total"]) for h in history)
     assert trainer.ckpt.latest_step() == 2
 
+    # persistent metrics trail (reference TensorBoard summaries,
+    # trainer.py:108-116): a killed run must leave a readable JSONL
+    from dodt_tpu.eval import reporting
+    tm_path = os.path.join(ckpt_dir, "train_metrics.jsonl")
+    assert os.path.exists(tm_path)
+    tm = reporting.load_train_metrics(tm_path)
+    assert [r["step"] for r in tm] == [1, 2]
+    assert all(np.isfinite(r["total"]) for r in tm)
+
     # resume: restores step
     trainer2 = Trainer(cfg, model, ds, ckpt_dir, batch_size=1)
     state2 = trainer2.init_or_restore()

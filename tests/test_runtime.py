@@ -138,6 +138,18 @@ def test_reporting(tmp_path):
     assert top[0]["step"] == 4
     table = reporting.format_table(results)
     assert "60.00" in table
+    # join with a train-metrics trail (latest loss at/before each step;
+    # tolerate the truncated tail a killed run leaves)
+    tm_path = tmp_path / "train_metrics.jsonl"
+    with open(tm_path, "w") as f:
+        f.write(json.dumps({"step": 1, "total": 9.0}) + "\n")
+        f.write(json.dumps({"step": 4, "total": 3.0}) + "\n")
+        f.write('{"step": 6, "tot')          # mid-write kill
+    tm = reporting.load_train_metrics(str(tm_path))
+    assert [r["step"] for r in tm] == [1, 4]
+    joined = reporting.format_table(results, train_metrics=tm)
+    assert "train_loss" in joined.splitlines()[0]
+    assert "9.000" in joined and "3.000" in joined
     p = reporting.plot_ap(results, str(tmp_path / "ap.png"))
     import os
     assert os.path.getsize(p) > 500
