@@ -1,13 +1,17 @@
-"""Hard-MOT metric table (VERDICT r3 item 4): the un-saturating
-scenario of tracking/scenarios.py scored through the parity-tested
-CLEAR-MOT evaluator, across
+"""Hard-MOT metric table (VERDICT r3 item 4 + r4 item 5): the
+un-saturating scenario of tracking/scenarios.py scored through the
+parity-tested CLEAR-MOT evaluator, across
 
   * association quality: model-grade (ground-truth) offsets vs zeroed
     offsets (broken-association regression arm),
   * ttl=1 (track_iou) vs ttl=4 (track_iou_v2 occlusion tolerance),
-  * IoU-offset tracker vs the Kalman pipeline.
+  * IoU-offset tracker vs the Kalman pipeline,
+  * stationary vs moving platform (ego arm): separates "tracker
+    ignores learned offsets" from "tracker ignores ego motion" —
+    the Kalman pipeline is scored with and without ego compensation
+    (reference kf_tracking.py:281-305 assigns on ego-transformed IoU).
 
-Writes results_r04/mot_hard.json.
+Writes results_r05/mot_hard.json.
 Run: python benchmarks/mot_hard.py
 """
 import json
@@ -18,22 +22,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 from dodt_tpu.tracking import iou_tracker, kalman, mot_eval  # noqa: E402
+from dodt_tpu.tracking import scenarios  # noqa: E402
 from dodt_tpu.tracking.scenarios import (hard_mot_scenario,  # noqa: E402
                                          tracks_to_pred_frames)
 
 N = 32
 KEEP = ("MOTA", "MOTP", "MT", "PT", "ML", "IDS", "FM", "TP", "FP", "FN",
         "recall", "precision")
+# 2.2 m/frame at KITTI's 10 Hz = 79 km/h with a gentle turn
+EGO_POSES = scenarios.ego_poses(N, speed=2.2, yaw_rate=0.03)
 
 
-def run(zero_offsets=False, ttl=4, tracker="iou"):
-    gt, dets = hard_mot_scenario(n_frames=N, zero_offsets=zero_offsets)
+def run(zero_offsets=False, ttl=4, tracker="iou", ego=None):
+    poses = EGO_POSES if ego else None
+    gt, dets = hard_mot_scenario(n_frames=N, zero_offsets=zero_offsets,
+                                 poses=poses)
     if tracker == "iou":
         tracks = iou_tracker.track_through_ious(
             dets, high_threshold=0.85, iou_threshold=0.005, t_min=3,
             ttl=ttl)
     else:
-        tracks = kalman.kf_pipeline(dets)
+        ego_fn = scenarios.make_ego_fn(poses) \
+            if ego == "compensated" else None
+        tracks = kalman.kf_pipeline(dets, ego_fn=ego_fn)
     r = mot_eval.evaluate_tracking(gt, tracks_to_pred_frames(tracks, N))
     out = {k: round(float(r[k]), 2) for k in KEEP}
     out["n_tracks"] = len(tracks)
@@ -45,17 +56,22 @@ results = {
                 "pair (4.4 m/f > box length), 3-frame occlusion gap "
                 "with sub-t_min tail, birth@10, death@21, near-miss "
                 "parallel pair (2.5 m), low-score object (ML probe); "
-                "n_gt=300 (tracking/scenarios.py, seed 0)",
+                "n_gt=300 (tracking/scenarios.py, seed 0); ego arm: "
+                "platform at 2.2 m/frame, yaw 0.03 rad/frame, objects "
+                "leave GT+dets behind the platform",
     "iou_offsets_ttl4": run(),
     "iou_offsets_ttl1": run(ttl=1),
     "iou_zero_offsets_ttl4": run(zero_offsets=True),
     "iou_zero_offsets_ttl1": run(zero_offsets=True, ttl=1),
     "kalman": run(tracker="kf"),
     "kalman_zero_offsets": run(tracker="kf", zero_offsets=True),
+    "ego_iou_offsets_aligned": run(ego="aligned"),
+    "ego_kalman_compensated": run(tracker="kf", ego="compensated"),
+    "ego_kalman_uncompensated": run(tracker="kf", ego="raw"),
 }
-os.makedirs("results_r04", exist_ok=True)
-with open("results_r04/mot_hard.json", "w") as f:
+os.makedirs("results_r05", exist_ok=True)
+with open("results_r05/mot_hard.json", "w") as f:
     json.dump(results, f, indent=2)
 for k, v in results.items():
     print(k, v)
-print("wrote results_r04/mot_hard.json")
+print("wrote results_r05/mot_hard.json")

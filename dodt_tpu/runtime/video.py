@@ -67,6 +67,24 @@ def dataset_align_fn(dataset):
     return fn
 
 
+def dataset_ego_fn(dataset):
+    """Inverse direction of `dataset_align_fn`: expresses frame_prev
+    boxes in frame_cur's own coordinates — the kf_pipeline ego contract
+    (the reference KF assigns on ego-transformed IoU,
+    kf_tracking.py:281-305)."""
+    from dodt_tpu.data import kitti
+
+    def fn(vid, f_prev, f_cur, boxes):
+        o1 = kitti.read_oxts(dataset.oxts_dir, vid, f_prev)
+        o2 = kitti.read_oxts(dataset.oxts_dir, vid, f_cur)
+        trans, matrix, dyaw = kitti.ego_motion(o1, o2)
+        return kitti.transform_boxes_3d(boxes, dataset.calib(vid),
+                                        trans, matrix, dyaw,
+                                        inverse=True)
+
+    return fn
+
+
 def run_video_pipeline(video_dets: Dict[int, Dict[int, List]],
                        tracker: str = "iou",
                        stride: int = 1,
@@ -76,7 +94,8 @@ def run_video_pipeline(video_dets: Dict[int, Dict[int, List]],
                        t_min: int = 1,
                        ttl: int = 1,
                        interpolate: bool = True,
-                       align_fn=None) -> Dict[int, List]:
+                       align_fn=None,
+                       ego_fn=None) -> Dict[int, List]:
     """Track + interpolate each video. Returns KITTI tracking lines per
     video (reference video_detection.py:535-567 defaults:
     sigma_l 0.1, sigma_h 0.3, sigma_iou 0.1, t_min 1).
@@ -84,7 +103,13 @@ def run_video_pipeline(video_dets: Dict[int, Dict[int, List]],
     align_fn(vid, frame_prev, frame_cur, boxes (N, 7)) -> (N, 7):
     optional ego-motion compensation expressing frame_cur boxes in
     frame_prev coordinates before association IoU (reference
-    cal_transformed_ious, tracking/tracking_eval.py:104)."""
+    cal_transformed_ious, tracking/tracking_eval.py:104).
+
+    ego_fn: same signature, opposite direction (frame_prev boxes into
+    frame_cur coordinates) — consumed by the Kalman arm to keep its
+    filter state in the current frame's coordinates (reference
+    kf_tracking.py:281-305 ego-transformed assignment); build with
+    `dataset_ego_fn`."""
     out = {}
     for vid, frames in video_dets.items():
         keyframes = sorted(frames)
@@ -107,9 +132,15 @@ def run_video_pipeline(video_dets: Dict[int, Dict[int, List]],
                 dets_seq, sigma_h, sigma_iou, t_min, ttl=ttl,
                 frame_gaps=gaps)
         elif tracker == "kf":
+            kf_ego = None
+            if ego_fn is not None:
+                def kf_ego(i_prev, i_cur, boxes, _vid=vid):
+                    return ego_fn(_vid, keyframes[i_prev],
+                                  keyframes[i_cur], boxes)
             tracks = kalman.kf_pipeline(dets_seq,
                                         iou_threshold=sigma_iou,
-                                        min_hits=t_min)
+                                        min_hits=t_min,
+                                        ego_fn=kf_ego)
         else:
             raise ValueError(tracker)
 

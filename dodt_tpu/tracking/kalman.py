@@ -70,6 +70,24 @@ class KalmanBoxTracker:
         return np.array([self.x[0], self.x[2], self.x[4], *self.dims,
                          self.x[6]])
 
+    def apply_ego(self, boxes_fn):
+        """Re-express the filter state in a new coordinate frame.
+
+        `boxes_fn`: (N, 7) box_3d -> (N, 7) rigid transform (previous
+        frame's coordinates -> current frame's). Position and heading
+        map through the box transform directly; planar velocity maps
+        exactly by transforming a velocity-displaced probe center (no
+        convention-sensitive angle math)."""
+        b = self.box()
+        probe = b.copy()
+        probe[0] += self.x[1] * self.dt
+        probe[2] += self.x[5] * self.dt
+        nb, nprobe = boxes_fn(np.stack([b, probe]))
+        self.x[0], self.x[2], self.x[4] = nb[0], nb[1], nb[2]
+        self.x[6] = nb[6]
+        self.x[1] = (nprobe[0] - nb[0]) / self.dt
+        self.x[5] = (nprobe[2] - nb[2]) / self.dt
+
 
 def assign_detections_to_trackers(trackers: List[np.ndarray],
                                   detections: List[np.ndarray],
@@ -94,8 +112,18 @@ def assign_detections_to_trackers(trackers: List[np.ndarray],
 def kf_pipeline(dets_per_frame: List[List[Dict]],
                 iou_threshold: float = 0.01,
                 max_misses: int = 2,
-                min_hits: int = 2) -> List[Dict]:
+                min_hits: int = 2,
+                ego_fn=None) -> List[Dict]:
     """Frame-by-frame KF predict/assign/update (kf_tracking.py:337).
+
+    `ego_fn(i_prev, i_cur, boxes (N, 7)) -> (N, 7)`: optional ego-motion
+    compensation expressing frame i_prev boxes in frame i_cur's own
+    coordinates (positional indices into `dets_per_frame`). Every
+    tracker state is re-expressed in the current frame before
+    prediction, so assignment IoU is ego-compensated like the
+    reference's (kf_tracking.assign_detections_to_trackers:281-305 via
+    cal_transformed_ious) and the constant-velocity model tracks
+    object motion, not object+platform motion.
 
     Returns finished tracks in the iou_tracker trajectory format.
     """
@@ -104,6 +132,10 @@ def kf_pipeline(dets_per_frame: List[List[Dict]],
     books: Dict[int, Dict] = {}
 
     for frame, dets in enumerate(dets_per_frame):
+        if ego_fn is not None and frame > 0 and trackers:
+            fn = lambda b: ego_fn(frame - 1, frame, b)  # noqa: E731
+            for t in trackers:
+                t.apply_ego(fn)
         predicted = [t.predict() for t in trackers]
         det_boxes = [np.asarray(d["box_3d"], np.float64) for d in dets]
         matches, un_t, un_d = assign_detections_to_trackers(

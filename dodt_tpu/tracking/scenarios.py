@@ -48,6 +48,56 @@ def project_box(box_3d) -> Tuple[float, float, float, float]:
     return (u1, v1, u2, v2)
 
 
+def ego_poses(n_frames: int, speed: float = 0.0,
+              yaw_rate: float = 0.0) -> np.ndarray:
+    """(n, 3) [tx, tz, yaw] platform poses in world coordinates: the
+    ego drives along its own heading at `speed` m/frame while yawing
+    `yaw_rate` rad/frame (a moving KITTI platform; the stationary
+    scenario is poses == 0)."""
+    poses = np.zeros((n_frames, 3))
+    tx = tz = 0.0
+    for f in range(n_frames):
+        yaw = yaw_rate * f
+        poses[f] = (tx, tz, yaw)
+        tx += speed * np.sin(yaw)
+        tz += speed * np.cos(yaw)
+    return poses
+
+
+def _rot(yaw: float) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s], [s, c]])
+
+
+def boxes_world_to_ego(boxes: np.ndarray, pose) -> np.ndarray:
+    """box_3d rows from world coords into the ego frame at `pose`."""
+    tx, tz, yaw = pose
+    out = np.array(boxes, np.float64).copy()
+    d = out[:, [0, 2]] - (tx, tz)
+    out[:, [0, 2]] = d @ _rot(yaw)      # == R(yaw)^T applied row-wise
+    out[:, 6] -= yaw
+    return out
+
+
+def boxes_ego_to_world(boxes: np.ndarray, pose) -> np.ndarray:
+    tx, tz, yaw = pose
+    out = np.array(boxes, np.float64).copy()
+    out[:, [0, 2]] = out[:, [0, 2]] @ _rot(yaw).T
+    out[:, [0, 2]] += (tx, tz)
+    out[:, 6] += yaw
+    return out
+
+
+def make_ego_fn(poses: np.ndarray):
+    """(i_prev, i_cur, boxes) -> boxes re-expressed in frame i_cur's
+    ego coordinates, given boxes in frame i_prev's (the kf_pipeline /
+    align contract, both directions derivable by swapping indices)."""
+    def fn(i_prev, i_cur, boxes):
+        return boxes_world_to_ego(
+            boxes_ego_to_world(boxes, poses[i_prev]), poses[i_cur])
+    return fn
+
+
 class _Obj:
     def __init__(self, oid, x0, z0, vx, vz, first=0, last=None,
                  score=0.95, missing=()):
@@ -67,13 +117,28 @@ class _Obj:
 
 def hard_mot_scenario(n_frames: int = 32, noise: float = 0.05,
                       zero_offsets: bool = False, seed: int = 0,
-                      occlusion_gap: Tuple[int, int] = (27, 29)):
+                      occlusion_gap: Tuple[int, int] = (27, 29),
+                      poses: Optional[np.ndarray] = None,
+                      aligned: bool = True):
     """Returns (gt_frames, dets_per_frame).
 
     gt_frames: MotEvaluator schema (ids / 2D boxes / types per frame).
     dets_per_frame: iou_tracker det dicts with per-frame `offsets`
     (offsets_span 1) — the ground-truth motion, zeroed when
     `zero_offsets` (the deliberately-broken-association regression arm).
+
+    `poses`: optional (n_frames, 3) ego poses from `ego_poses` — the
+    moving-platform variant. GT 2D boxes and det box_3d are expressed
+    in each frame's own ego coordinates (what the sensors see); det
+    `offsets` are the object's world motion rotated into the det's
+    frame (the model's frame-A-coordinates contract); with `aligned`,
+    each det also carries `box_aligned` (its box in the PREVIOUS
+    frame's ego coordinates — the Evaluator's _align_dets_to_prev
+    contract), and objects that fall behind the platform (ego-relative
+    z < 4) leave both GT and detections, like a real camera's FOV.
+    Separating this arm from `zero_offsets` isolates "tracker ignores
+    ego motion" from "tracker ignores learned offsets" (VERDICT r4
+    weak #7).
     """
     g0, g1 = occlusion_gap
     objs = [
@@ -102,21 +167,27 @@ def hard_mot_scenario(n_frames: int = 32, noise: float = 0.05,
     gt_frames: List[Dict] = []
     dets_per_frame: List[List[Dict]] = []
     for f in range(n_frames):
+        pose = poses[f] if poses is not None else (0.0, 0.0, 0.0)
         ids, boxes2d = [], []
         dets: List[Dict] = []
         for o in objs:
             if f < o.first or (o.last is not None and f > o.last):
                 continue
-            box = o.box(f)
+            box = o.box(f)                      # world coords
+            ego_box = boxes_world_to_ego(box[None], pose)[0]
+            if poses is not None and ego_box[2] < 4.0:
+                continue                        # behind the platform
             ids.append(o.oid)
-            boxes2d.append(project_box(box))
+            boxes2d.append(project_box(ego_box))
             if f in o.missing:
                 continue
-            nbox = box.copy()
-            nbox[[0, 2]] += rng.normal(0.0, noise, 2)
-            nbox[6] += rng.normal(0.0, noise * 0.2)
-            offsets = np.array([o.vx, o.vz, 0.0])
-            dets.append({
+            nbox_w = box.copy()                 # noise in world coords
+            nbox_w[[0, 2]] += rng.normal(0.0, noise, 2)
+            nbox_w[6] += rng.normal(0.0, noise * 0.2)
+            nbox = boxes_world_to_ego(nbox_w[None], pose)[0]
+            off_xz = np.array([o.vx, o.vz]) @ _rot(pose[2])
+            offsets = np.array([off_xz[0], off_xz[1], 0.0])
+            det = {
                 "frame_id": f,
                 "box_3d": nbox,
                 "score": o.score,
@@ -124,7 +195,11 @@ def hard_mot_scenario(n_frames: int = 32, noise: float = 0.05,
                 "offsets_span": 1,
                 "bbox_2d": project_box(nbox),
                 "gt_id": o.oid,   # for debugging only, unused by tracker
-            })
+            }
+            if poses is not None and aligned and f > 0:
+                det["box_aligned"] = boxes_world_to_ego(
+                    nbox_w[None], poses[f - 1])[0]
+            dets.append(det)
         gt_frames.append({"ids": ids, "boxes": boxes2d,
                           "types": ["car"] * len(ids)})
         dets_per_frame.append(dets)
