@@ -50,10 +50,16 @@ def resolve_box_4ca_orientation(boxes_3d: np.ndarray,
 
 def outputs_to_detections(final_boxes_3d, final_orientations,
                           final_scores, final_cls_softmax, final_valid,
-                          corr_offsets=None,
+                          corr_offsets=None, coexist=None,
                           score_threshold: float = 0.0):
     """Convert one frame's model outputs to detection dicts (see
-    tracking/iou_tracker.py). Inputs are numpy arrays for ONE frame."""
+    tracking/iou_tracker.py). Inputs are numpy arrays for ONE frame.
+
+    `coexist`: per-detection P(object exists in both keyframes) from
+    the stack model's coexist head (models/stack.py final_coexist,
+    reference stack_avod_model.py:306-316). Models without the head
+    leave it None -> dets carry 0.5 ("unknown"), which MoI treats as
+    the conservative blank-half branch (tracking/moi.py)."""
     boxes = resolve_box_4ca_orientation(final_boxes_3d,
                                         final_orientations)
     dets = []
@@ -68,6 +74,7 @@ def outputs_to_detections(final_boxes_3d, final_orientations,
                "class_idx": cls_idx,
                "offsets": None if corr_offsets is None
                else np.asarray(corr_offsets[i], np.float64),
-               "coexist": 1.0}
+               "coexist": 0.5 if coexist is None
+               else float(coexist[i])}
         dets.append(det)
     return dets

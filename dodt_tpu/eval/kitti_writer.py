@@ -77,3 +77,72 @@ def predictions_to_kitti_lines(boxes_3d: np.ndarray, scores: np.ndarray,
 def write_kitti_file(path: str, lines: List[str]):
     with open(path, "w") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+# ---------------------------------------------------------------------
+# Extended per-couple contract: offsets + coexist round trip
+# ---------------------------------------------------------------------
+# The reference evaluator writes per-couple txt carrying the propagated
+# box, coexist and frame-mark columns next to the plain KITTI files
+# (dt_evaluator.get_avod_predicted_boxes_3d_and_scores:1134-1259), and
+# its offline trackers re-read them (dt_tracking_eval.decode_tracking_
+# file:80). Redesign here: absolute frame numbers instead of a 0/1
+# mark, boxes already recovered into each frame's own coordinates
+# (the in-memory contract of runtime/video.py), and the raw [dx dz dry]
+# offsets + P(both) coexist written explicitly instead of a
+# pre-propagated second box.
+#
+# Row format (whitespace-separated):
+#   frame type score x y z l w h ry dx dz dry coexist span
+# span -1 encodes "no offsets" (models without a correlation head);
+# span 0 encodes offsets present but no explicit span.
+
+def couple_detections_to_lines(dets_by_frame, classes=("Car",)
+                               ) -> List[str]:
+    lines = []
+    for frame in sorted(dets_by_frame):
+        for d in dets_by_frame[frame]:
+            x, y, z, l, w, h, ry = [float(v) for v in d["box_3d"][:7]]
+            off = d.get("offsets")
+            if off is None:
+                dx = dz = dry = 0.0
+                span = -1
+            else:
+                dx, dz, dry = (float(off[0]), float(off[1]),
+                               float(off[2]))
+                span = int(d.get("offsets_span") or 0)
+            coex = d.get("coexist")
+            coex = 0.5 if coex is None else float(coex)
+            obj_type = classes[int(d.get("class_idx", 0))] \
+                if "class_idx" in d else d.get("type", classes[0])
+            lines.append(
+                f"{frame} {obj_type} {d['score']:.6f} "
+                f"{x:.6f} {y:.6f} {z:.6f} {l:.6f} {w:.6f} {h:.6f} "
+                f"{ry:.6f} {dx:.6f} {dz:.6f} {dry:.6f} {coex:.6f} "
+                f"{span}")
+    return lines
+
+
+def parse_couple_lines(lines, classes=("Car",)):
+    """Inverse of `couple_detections_to_lines`: {frame: [det dict]}."""
+    out = {}
+    for line in lines:
+        p = line.split()
+        if len(p) < 15:
+            continue
+        frame = int(p[0])
+        span = int(p[14])
+        det = {
+            "frame_id": frame,
+            "type": p[1],
+            "class_idx": classes.index(p[1]) if p[1] in classes else 0,
+            "score": float(p[2]),
+            "box_3d": np.array([float(v) for v in p[3:10]]),
+            "offsets": (None if span < 0 else
+                        np.array([float(v) for v in p[10:13]])),
+            "coexist": float(p[13]),
+        }
+        if span > 0:
+            det["offsets_span"] = span
+        out.setdefault(frame, []).append(det)
+    return out

@@ -100,7 +100,8 @@ class Evaluator:
         # fetches dominate eval wall time on remote-tunnel platforms
         out = jax.device_get({k: out[k] for k in (
             "final_boxes_3d", "final_orientations", "final_scores",
-            "final_cls_softmax", "final_valid", "final_corr_offsets")
+            "final_cls_softmax", "final_valid", "final_corr_offsets",
+            "final_coexist")
             if k in out})
         thr = self.cfg.eval.kitti_score_threshold
         n_frames = out["final_boxes_3d"].shape[1]
@@ -111,13 +112,19 @@ class Evaluator:
                 corr = (np.array(out["final_corr_offsets"][b])
                         if f == 0 and "final_corr_offsets" in out
                         else None)
+                # learned coexist (stack model): P(exists in both
+                # keyframes), indexed like the frame-0 final dets —
+                # drives MoI birth/death and tracker early termination
+                coex = (np.array(out["final_coexist"][b])
+                        if f == 0 and "final_coexist" in out
+                        else None)
                 dets.append(decode_lib.outputs_to_detections(
                     np.array(out["final_boxes_3d"][b, f]),
                     np.array(out["final_orientations"][b, f]),
                     np.array(out["final_scores"][b, f]),
                     np.array(out["final_cls_softmax"][b, f]),
                     np.array(out["final_valid"][b, f]),
-                    corr_offsets=corr,
+                    corr_offsets=corr, coexist=coex,
                     score_threshold=thr))
             results.append({"sample": sample, "dets": dets,
                             "couple": self.dataset.couples[idx]})
@@ -242,6 +249,13 @@ class Evaluator:
         pred_dir = os.path.join(self.output_dir,
                                 f"predictions_{step}", "data")
         os.makedirs(pred_dir, exist_ok=True)
+        # extended per-couple files carrying corr offsets + coexist so
+        # offline MOT runs reconstruct the full in-memory contract
+        # (reference dt_evaluator.py:1134-1259 writes these columns;
+        # dt_tracking_eval.decode_tracking_file:80 re-reads them)
+        couples_dir = os.path.join(self.output_dir,
+                                   f"predictions_{step}", "couples")
+        os.makedirs(couples_dir, exist_ok=True)
 
         # per-video collections for tracking
         video_dets: Dict[int, Dict[int, List]] = defaultdict(dict)
@@ -296,6 +310,7 @@ class Evaluator:
             # entry / file when present — this matters only for the
             # final keyframe of each video, which no couple covers as
             # frame A.
+            dets_b = None
             if cp.frame_b > cp.frame_a:
                 dets_b = self._recover_dets(
                     res["dets"][1], calib, cp.video_id, cp.frame_a,
@@ -306,6 +321,15 @@ class Evaluator:
                         f"{cp.video_id:02d}{cp.frame_b:04d}.txt"),
                     self._kitti_lines(dets_b, calib, img_size))
                 video_dets[cp.video_id][cp.frame_b] = dets_b
+
+            # extended couple file: keyframe dets with offsets/coexist
+            by_frame = {cp.frame_a: dets0}
+            if dets_b is not None:
+                by_frame[cp.frame_b] = dets_b
+            kitti_writer.write_kitti_file(
+                os.path.join(couples_dir, f"{cp.name}.txt"),
+                kitti_writer.couple_detections_to_lines(
+                    by_frame, classes=self.cfg.dataset.classes))
 
             # ---- MoI: synthesize the tau-1 intermediate frames, then
             # recover each from frame-A coordinates into its own frame

@@ -45,8 +45,43 @@ def load_kitti_detections(pred_dir: str) -> Dict[int, Dict[int, List]]:
                     "bbox_2d": np.array([float(p[4]), float(p[5]),
                                          float(p[6]), float(p[7])]),
                     "score": score, "type": p[0],
-                    "offsets": np.zeros(3), "coexist": 1.0})
+                    "offsets": np.zeros(3), "coexist": 0.5})
         out[vid][frame] = dets
+    return out
+
+
+def load_couple_detections(couples_dir: str, classes=("Car",)
+                           ) -> Dict[int, Dict[int, List]]:
+    """Read the Evaluator's extended per-couple files (see
+    eval/kitti_writer.couple_detections_to_lines; reference contract
+    dt_evaluator.py:1134-1259 / dt_tracking_eval.decode_tracking_
+    file:80) into per-video keyframe detections WITH their predicted
+    corr offsets and coexist probabilities — the offline twin of the
+    in-memory `video_dets`, so from-files MOT runs use real offsets
+    instead of silently degrading to pure-IoU association.
+
+    When consecutive couples share a keyframe (the far frame of couple
+    k is the near frame of couple k+1), the near-frame rows win — the
+    same overwrite rule as Evaluator.run_checkpoint_once."""
+    from dodt_tpu.eval import kitti_writer
+
+    out: Dict[int, Dict[int, List]] = defaultdict(dict)
+    seen_near: Dict[int, set] = defaultdict(set)
+    for name in sorted(os.listdir(couples_dir)):
+        if not name.endswith(".txt") or "_" not in name:
+            continue
+        stem_a, stem_b = name[:-4].split("_")
+        vid = int(stem_a[:2])
+        frame_a, frame_b = int(stem_a[2:]), int(stem_b[2:])
+        with open(os.path.join(couples_dir, name)) as f:
+            frames = kitti_writer.parse_couple_lines(
+                [ln for ln in f], classes=classes)
+        for frame, dets in frames.items():
+            if frame == frame_a:
+                seen_near[vid].add(frame)
+            elif frame in seen_near[vid]:
+                continue   # a near-frame entry already wrote this
+            out[vid][frame] = dets
     return out
 
 
@@ -202,8 +237,13 @@ def _tracks_to_kitti(tracks: List[Dict]) -> List[str]:
 def score_tracking(kitti_lines_per_video: Dict[int, List[str]],
                    gt_loader, min_iou: float = 0.5) -> Dict:
     """CLEAR-MOT scores per video + overall; gt_loader(vid, frame) ->
-    LabelArray."""
+    LabelArray. 'overall' pools every video in ONE accumulator, the
+    official scorer's protocol (evaluate_tracking.py pools sequences)
+    and the same aggregation Evaluator._run_tracking uses — a
+    per-video average would weight a 10-frame clip like a 1000-frame
+    one and disagree with the official numbers."""
     results = {}
+    pooled = mot_eval.MotEvaluator(min_overlap=min_iou)
     for vid, lines in kitti_lines_per_video.items():
         per_frame = defaultdict(lambda: {"ids": [], "boxes": []})
         max_frame = -1
@@ -222,9 +262,7 @@ def score_tracking(kitti_lines_per_video: Dict[int, List[str]],
             pred_frames.append(per_frame[f])
         results[vid] = mot_eval.evaluate_tracking(gt_frames, pred_frames,
                                                   min_iou)
+        pooled.add_sequence(gt_frames, pred_frames)
     if results:
-        keys = next(iter(results.values())).keys()
-        results["overall"] = {k: float(np.mean(
-            [v[k] for kk, v in results.items() if kk != "overall"]))
-            for k in keys}
+        results["overall"] = pooled.results()
     return results

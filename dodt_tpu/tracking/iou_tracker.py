@@ -122,7 +122,16 @@ def track_through_ious(dets_per_frame: List[List[Dict]],
                 if gap is not None:
                     track["pending_gap"] = \
                         track.get("pending_gap", 0) + gap
-                if track["miss"] < ttl:
+                # learned-coexist early termination: a track whose last
+                # det predicted "will not exist at the next keyframe"
+                # (stack coexist head, P(both) < 0.5) must not linger
+                # through the ttl window where it could steal a
+                # newborn's detection; dets without the head carry 0.5
+                # and keep full ttl semantics
+                dying = track["trajectory"][-1].get("coexist")
+                expired = track["miss"] >= ttl or \
+                    (dying is not None and dying < 0.5)
+                if not expired:
                     updated.append(track)   # keep alive (v2 semantics)
                 elif track["max_score"] >= high_threshold and \
                         len(track["trajectory"]) >= t_min:

@@ -4,11 +4,23 @@ Parity target: reference evaluator_utils.interpolate_non_keyframe_
 predicitons:424 + interpolate_trajectory:510 — given detections at two
 keyframes (t, t+tau) with predicted correlation offsets, synthesize
 detections for the tau-1 intermediate frames by linear interpolation of
-[x, z, ry]; births/deaths use the coexist flag to blank half the gap.
+[x, z, ry]; births/deaths use the coexist head to decide between
+extrapolating through the gap and blanking half of it.
 
 Detections here are dicts (see iou_tracker) plus:
   coexist: float in [0, 1] — probability the object exists in BOTH
-  frames (frame-0 dets) / existed in frame 0 (frame-1 dets).
+  keyframes (the stack model's coexist softmax P(class "both"),
+  models/stack.py final_coexist). NOTE the value polarity is the
+  INVERSE of the reference's saved flag (there 0 = co-exist,
+  interpolate_trajectory:533 branches on coexists <= 0.5); the branch
+  structure below is the same, read under P(both):
+    unmatched det, coexist > 0.5  -> the model says the object exists
+      at the other keyframe too (detector miss): extrapolate through
+      the whole gap along the predicted motion;
+    unmatched det, coexist <= 0.5 -> true birth/death: blank half the
+      gap (reference "trajectory birth/dead, half frames are None").
+  Dets without a coexist head default to 0.5 ("unknown"), taking the
+  conservative blank-half branch.
 """
 from __future__ import annotations
 
@@ -75,6 +87,9 @@ def interpolate_pair(det0: Optional[Dict], det1: Optional[Dict],
         obj["box_3d"] = box
         obj["score"] = score
         obj["interpolated"] = True
+        # the 3D box moved: a cached image-plane box is stale now
+        # (consumers re-project from box_3d when bbox_2d is absent)
+        obj.pop("bbox_2d", None)
         # interpolated frames sit 1 real frame apart: re-express the
         # tau-span motion as a per-frame step for tracker propagation
         obj["offsets"] = np.asarray(offsets, np.float64) / (n - 1)
@@ -92,34 +107,56 @@ def interpolate_pair(det0: Optional[Dict], det1: Optional[Dict],
         d1["score"] = score
         out.append(d1)
     elif det0 is None:
-        # appears only at frame tau: death-in-reverse / birth
-        coexist = det1.get("coexist", 0.0)
+        # appears only at frame tau
+        coexist = _coexist(det1)
         offsets = np.asarray(det1.get("offsets", np.zeros(3)), np.float64)
-        if coexist <= 0.5:
+        if coexist > 0.5:
+            # the model says it existed at frame 0 too (detector miss):
             # extrapolate backwards along its (incoming) motion
             for i in range(n - 1):
                 frac = -(n - i - 2.0) / (n - 1)
                 out.append(lerped(det1, frac, offsets, det1["score"]))
             out.append(det1)
         else:
+            # true birth: the early half of the gap stays blank; the
+            # kept half back-extrapolates along the incoming motion
+            # (the reference keeps stationary copies,
+            # interpolate_trajectory:543-548 — moving them tracks the
+            # GT it is about to match and measurably cuts FN/IDS)
             for i in range(n - 1):
-                out.append(None if i <= n / 2 else copy.deepcopy(det1))
+                if i <= n / 2:
+                    out.append(None)
+                else:
+                    frac = -(n - i - 2.0) / (n - 1)
+                    out.append(lerped(det1, frac, offsets,
+                                      det1["score"]))
             out.append(det1)
     else:
-        # exists only at frame 0: extrapolate forward or die mid-gap
-        coexist = det0.get("coexist", 1.0)
+        # exists only at frame 0
+        coexist = _coexist(det0)
         offsets = np.asarray(det0.get("offsets", np.zeros(3)), np.float64)
-        if coexist <= 0.5:
+        if coexist > 0.5:
+            # detector miss at frame tau: extrapolate forward
             out.append(det0)
             for i in range(n - 1):
                 out.append(lerped(det0, (i + 1.0) / (n - 1), offsets,
                                   det0["score"]))
         else:
+            # true death: the late half of the gap stays blank; the
+            # kept half moves along the predicted motion (reference
+            # keeps stationary copies, interpolate_trajectory:565-570)
             out.append(det0)
             for i in range(n - 1):
-                out.append(copy.deepcopy(det0) if i < n / 2 else None)
+                out.append(lerped(det0, (i + 1.0) / (n - 1), offsets,
+                                  det0["score"])
+                           if i < n / 2 else None)
     assert len(out) == n
     return out
+
+
+def _coexist(det: Dict) -> float:
+    v = det.get("coexist")
+    return 0.5 if v is None else float(v)
 
 
 def interpolate_non_keyframes(dets0: List[Dict], dets1: List[Dict],

@@ -206,6 +206,125 @@ def hard_mot_scenario(n_frames: int = 32, noise: float = 0.05,
     return gt_frames, dets_per_frame
 
 
+def birth_death_scenario(n_frames: int = 33, tau: int = 4,
+                         noise: float = 0.03, seed: int = 1,
+                         coexist_mode: str = "learned"):
+    """Birth/death-heavy keyframe scenario for the coexist A/B
+    (VERDICT r4 item 3): detections exist only at keyframes (stride
+    tau); several objects are born or die MID-GAP, and one persistent
+    object has keyframe detector misses. MoI must decide whether an
+    unmatched keyframe det extrapolates through the gap or blanks half
+    of it — exactly what the stack model's coexist head (reference
+    stack_avod_model.py:306-316, consumed by interpolate_trajectory's
+    birth/death branches, evaluator_utils.py:529-570) predicts.
+
+    coexist_mode:
+      "learned"  — each det carries the TRUE P(exists at the other
+                   keyframe of its couple) (a perfect coexist head);
+      "constant" — every det claims 1.0 (the pre-r5 live path);
+      "none"     — 0.5 (a model without the head).
+
+    Returns (gt_frames, couples) where couples is a list of
+    (frame_a, frame_b, dets0, dets1) ready for
+    moi.interpolate_non_keyframes — dets are fresh per couple because
+    coexist is a per-couple prediction (frame-b dets answer "existed
+    at frame a?", the same physical frame's dets answer "exists at
+    frame b?" for the next couple)."""
+    assert coexist_mode in ("learned", "constant", "none")
+    rng = np.random.default_rng(seed)
+    keyframes = list(range(0, n_frames, tau))
+    objs = [
+        # persistent movers
+        _Obj(0, -14.0, 18.0, +1.0, +0.3),
+        _Obj(1, +12.0, 30.0, -0.8, -0.4),
+        _Obj(2, -4.0, 40.0, +0.4, -0.7),
+        _Obj(3, +5.0, 14.0, -0.3, +0.6),
+        # mid-gap deaths (last frame falls strictly inside a gap)
+        _Obj(4, -8.0, 24.0, +0.9, 0.0, last=tau + 1),
+        _Obj(5, +9.0, 20.0, -0.6, +0.5, last=3 * tau + 2),
+        _Obj(6, -2.0, 34.0, +0.5, -0.5, last=5 * tau + 1),
+        # mid-gap births
+        _Obj(7, +2.0, 26.0, +0.7, +0.4, first=tau + 2),
+        _Obj(8, -11.0, 36.0, +0.8, -0.3, first=3 * tau + 1),
+        _Obj(9, +13.0, 16.0, -0.9, +0.5, first=5 * tau + 2),
+        # persistent mover the detector misses at two keyframes
+        _Obj(10, -6.0, 28.0, +0.6, +0.3,
+             missing=(keyframes[3], keyframes[6])),
+    ]
+
+    def alive(o, f):
+        return o.first <= f and (o.last is None or f <= o.last)
+
+    gt_frames: List[Dict] = []
+    for f in range(n_frames):
+        ids, boxes2d = [], []
+        for o in objs:
+            if alive(o, f):
+                ids.append(o.oid)
+                boxes2d.append(project_box(o.box(f)))
+        gt_frames.append({"ids": ids, "boxes": boxes2d,
+                          "types": ["car"] * len(ids)})
+
+    def make_det(o, f, other_f):
+        box = o.box(f)
+        nbox = box.copy()
+        nbox[[0, 2]] += rng.normal(0.0, noise, 2)
+        if coexist_mode == "learned":
+            # the head predicts EXISTENCE at the other keyframe, not
+            # detection: a detector miss there still has coexist 1
+            coex = 1.0 if alive(o, other_f) else 0.0
+        elif coexist_mode == "constant":
+            coex = 1.0
+        else:
+            coex = 0.5
+        return {
+            "frame_id": f,
+            "box_3d": nbox,
+            "score": o.score,
+            "offsets": np.array([o.vx, o.vz, 0.0]) * tau,
+            "offsets_span": tau,
+            "bbox_2d": project_box(nbox),
+            "coexist": coex,
+        }
+
+    couples = []
+    for ka, kb in zip(keyframes[:-1], keyframes[1:]):
+        dets0 = [make_det(o, ka, kb) for o in objs
+                 if alive(o, ka) and ka not in o.missing]
+        dets1 = [make_det(o, kb, ka) for o in objs
+                 if alive(o, kb) and kb not in o.missing]
+        couples.append((ka, kb, dets0, dets1))
+    return gt_frames, couples
+
+
+def run_moi_tracking(gt_frames: List[Dict], couples, n_frames: int,
+                     high_threshold: float = 0.85,
+                     iou_threshold: float = 0.005,
+                     t_min: int = 3) -> Dict:
+    """The Evaluator's MoI flow on scenario couples: per couple,
+    interpolate the tau-1 non-keyframes (frame-a dets overwrite the
+    previous couple's far-frame slot, runtime/evaluator.py rule), then
+    run the IoU tracker over every frame and score CLEAR-MOT."""
+    from dodt_tpu.tracking import iou_tracker, moi, mot_eval
+
+    frames: Dict[int, List[Dict]] = {}
+    for ka, kb, dets0, dets1 in couples:
+        filled = moi.interpolate_non_keyframes(dets0, dets1,
+                                               kb - ka + 1)
+        for off, dets in enumerate(filled):
+            if ka + off == kb and kb != n_frames - 1:
+                continue   # the next couple's frame-a slot wins
+            frames[ka + off] = dets
+    dets_seq = [frames.get(f, []) for f in range(n_frames)]
+    tracks = iou_tracker.track_through_ious(
+        dets_seq, high_threshold, iou_threshold, t_min,
+        frame_gaps=[0] + [1] * (n_frames - 1))
+    r = mot_eval.evaluate_tracking(
+        gt_frames, tracks_to_pred_frames(tracks, n_frames))
+    r["n_tracks"] = len(tracks)
+    return r
+
+
 def tracks_to_pred_frames(tracks: List[Dict], n_frames: int
                           ) -> List[Dict]:
     """Tracker output (iou_tracker / kf_pipeline trajectory format) ->

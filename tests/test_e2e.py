@@ -72,3 +72,16 @@ def test_train_then_eval(world, tmp_path):
     assert len(files) == len(ev_ds.couples)
     # results json exists
     assert os.path.exists(os.path.join(out_dir, "results_2.json"))
+
+    # extended per-couple files: offsets + coexist round-trip into the
+    # offline pipeline (reference dt_evaluator.py:1134-1259 contract)
+    from dodt_tpu.runtime import video
+    couples_dir = os.path.join(out_dir, "predictions_2", "couples")
+    assert len(os.listdir(couples_dir)) == len(ev_ds.couples)
+    loaded = video.load_couple_detections(couples_dir)
+    n_dets = sum(len(d) for frames in loaded.values()
+                 for d in frames.values())
+    if n_dets:   # 2-step checkpoint may detect nothing
+        any_det = next(d for frames in loaded.values()
+                       for dd in frames.values() for d in dd)
+        assert "coexist" in any_det and "box_3d" in any_det

@@ -66,9 +66,11 @@ def test_moi_interpolation_linear():
     assert frames[1][0]["score"] == 0.9
 
 
-def test_moi_death_extrapolation():
-    # object only in frame 0 with coexist=0 -> extrapolated forward
-    d0 = det(0.0, 10.0, 0, 0.9, offsets=[1.0, 2.0, 0.0], coexist=0.0)
+def test_moi_miss_extrapolation():
+    # unmatched frame-0 det whose coexist head says "exists in both"
+    # (P(both)=1) -> detector miss at frame tau: extrapolate forward
+    # along the predicted motion
+    d0 = det(0.0, 10.0, 0, 0.9, offsets=[1.0, 2.0, 0.0], coexist=1.0)
     frames = moi.interpolate_non_keyframes([d0], [], num_frames=3)
     assert len(frames[0]) == 1 and len(frames[2]) == 1
     np.testing.assert_allclose(frames[2][0]["box_3d"][[0, 2]],
@@ -76,11 +78,32 @@ def test_moi_death_extrapolation():
 
 
 def test_moi_death_blanks_half():
-    d0 = det(0.0, 10.0, 0, 0.9, offsets=[0, 0, 0], coexist=1.0)
-    frames = moi.interpolate_non_keyframes([d0], [], num_frames=5)
-    # first half present, second half blank
+    # coexist head says "dies before frame tau" (P(both)=0): the late
+    # half of the gap stays blank. Dets without a coexist head carry
+    # 0.5 and take the same conservative branch.
+    for coexist in (0.0, 0.5):
+        d0 = det(0.0, 10.0, 0, 0.9, offsets=[0, 0, 0], coexist=coexist)
+        frames = moi.interpolate_non_keyframes([d0], [], num_frames=5)
+        assert len(frames[0]) == 1
+        assert len(frames[-1]) == 0
+
+
+def test_moi_birth_blanks_early_half():
+    # appears only at frame tau with a low-coexist verdict: true birth,
+    # the early half of the gap stays blank; with a high coexist the
+    # model says it existed at frame 0 too -> extrapolate backwards
+    d1 = det(2.0, 14.0, 2, 0.9, offsets=[1.0, 2.0, 0.0], coexist=0.0)
+    frames = moi.interpolate_non_keyframes([], [d1], num_frames=5)
+    assert len(frames[0]) == 0 and len(frames[-1]) == 1
+
+    d1b = det(2.0, 14.0, 2, 0.9, offsets=[1.0, 2.0, 0.0], coexist=1.0)
+    frames = moi.interpolate_non_keyframes([], [d1b], num_frames=3)
     assert len(frames[0]) == 1
-    assert len(frames[-1]) == 0
+    # reference parity: the backward branch scales by (n-i-2)/(n-1)
+    # (interpolate_trajectory:536-539), so the first slot moves back by
+    # (n-2)/(n-1) of the gap offsets, not the full gap
+    np.testing.assert_allclose(frames[0][0]["box_3d"][[0, 2]],
+                               [1.5, 13.0], atol=1e-6)
 
 
 def test_kalman_tracker():
