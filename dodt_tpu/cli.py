@@ -58,7 +58,11 @@ def cmd_train(args):
     import jax
 
     cfg, ds, model = _build(args.config, "train")
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # --num_model M: tensor-parallel the wide FC trunks over an M-way
+    # 'model' axis (remaining devices form the 'data' axis); params,
+    # Adam moments and EMA shadows are laid out by shard_train_state
+    mesh = (make_mesh(num_model=args.num_model)
+            if len(jax.devices()) > 1 else None)
     trainer = Trainer(cfg, model, ds, args.ckpt_dir, mesh=mesh,
                       batch_size=args.batch_size)
     state, history = trainer.train(max_steps=args.max_steps)
@@ -192,6 +196,9 @@ def main(argv=None):
     t.add_argument("--ckpt_dir", required=True)
     t.add_argument("--batch_size", type=int, default=1)
     t.add_argument("--max_steps", type=int, default=None)
+    t.add_argument("--num_model", type=int, default=1,
+                   help="tensor-parallel width for the FC trunks "
+                        "(devices are arranged data x model)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate")

@@ -71,3 +71,41 @@ def param_shardings(params, mesh: Mesh):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """device_put a TrainState onto the mesh: params (and the EMA
+    shadow) get `param_shardings` (TP kernels over 'model', rest
+    replicated); optimizer moments inherit the sharding of the param
+    leaf they mirror (Adam's mu/nu are params-structured subtrees of
+    the opt_state, found by treedef match); everything else (step,
+    schedule counts, masked-state internals) is replicated.
+
+    This is the production entry point for tensor parallelism — the
+    Trainer calls it so `--num_model > 1` actually lays the FC trunks
+    out over the 'model' axis instead of replicating them (the dryrun
+    and the bit-parity test exercised `param_shardings` but nothing in
+    the real train path ever applied it)."""
+    p_sh = param_shardings(state.params, mesh)
+    rep = NamedSharding(mesh, P())
+    pstruct = jax.tree_util.tree_structure(state.params)
+
+    def is_params_shaped(node):
+        try:
+            return jax.tree_util.tree_structure(node) == pstruct
+        except Exception:  # noqa: BLE001 — non-pytree internals
+            return False
+
+    def put(node):
+        if is_params_shaped(node):
+            return jax.device_put(node, p_sh)
+        return jax.device_put(node, rep)
+
+    opt_state = jax.tree_util.tree_map(put, state.opt_state,
+                                       is_leaf=is_params_shaped)
+    ema = (jax.device_put(state.ema_params, p_sh)
+           if state.ema_params is not None else None)
+    return state._replace(
+        step=jax.device_put(state.step, rep),
+        params=jax.device_put(state.params, p_sh),
+        opt_state=opt_state, ema_params=ema)

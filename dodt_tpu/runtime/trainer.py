@@ -335,6 +335,13 @@ class Trainer:
                 # start from the fresh random init
                 ema = params if state.ema_params is not None else None
                 state = state._replace(params=params, ema_params=ema)
+        if self.mesh is not None:
+            # lay the state out over the mesh: replicated for pure-DP,
+            # FC-trunk kernels (and their Adam moments / EMA shadows)
+            # sharded over 'model' for TP — the jitted step propagates
+            # these layouts, so XLA emits the TP collectives for real
+            # training, not just the dryrun (VERDICT r4 item 9)
+            state = mesh_lib.shard_train_state(state, self.mesh)
         return state
 
     def _device_batch(self, augment=True):

@@ -233,6 +233,57 @@ def test_sharded_eval_matches_single_device(tmp_path_factory):
     assert res_mesh["mot"] == res_one["mot"]
 
 
+def test_trainer_tp_steps_match_single_device(tmp_path_factory):
+    """VERDICT r4 item 9: the REAL Trainer path with a (data x model)
+    mesh — shard_train_state lays the FC-trunk kernels + Adam moments
+    over 'model' — takes the same steps as the unsharded Trainer on
+    the identical data stream."""
+    from dodt_tpu import config as cfg_mod
+    from dodt_tpu.data import synthetic, tracking
+    from dodt_tpu.runtime.trainer import Trainer
+
+    tmp = tmp_path_factory.mktemp("trainer_tp")
+    root = str(tmp / "kitti")
+    synthetic.write_tracking_fixture(root, num_videos=1, num_frames=6,
+                                     ego_speed=0.3)
+    cfg = cfg_mod.unittest_pipeline()
+    cfg.dataset.dataset_dir = root
+    cfg.dataset.video_train_ids = (0,)
+    cfg.train.checkpoint_interval = 10**9  # no ckpt IO in this test
+
+    def run(mesh, ckpt):
+        ds = tracking.KittiTrackingDataset(cfg.dataset, split="train")
+        model = DtAvodNet(cfg=cfg, cluster_sizes=((3.9, 1.6, 1.5),))
+        tr = Trainer(cfg, model, ds, str(tmp / ckpt), mesh=mesh,
+                     batch_size=4, metrics_path=None)
+        state, hist = tr.train(max_steps=3, log_every=1, prefetch=0)
+        return state, hist
+
+    state_one, hist_one = run(None, "ck_one")
+    mesh = mesh_lib.make_mesh(num_data=4, num_model=2)
+    state_tp, hist_tp = run(mesh, "ck_tp")
+
+    # the TP layout was actually applied to the live state
+    from jax.sharding import PartitionSpec
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(state_tp.params)
+        if getattr(leaf, "sharding", None) is not None
+        and getattr(leaf.sharding, "spec", PartitionSpec())
+        != PartitionSpec())
+    assert n_sharded > 0, "no param leaf is model-sharded"
+
+    for ha, hb in zip(hist_one, hist_tp):
+        for k in ("total", "rpn_cls", "rpn_reg"):
+            np.testing.assert_allclose(ha[k], hb[k], rtol=1e-3,
+                                       atol=1e-3, err_msg=k)
+    # Adam divides by sqrt(nu)+eps, so collective reduction-order noise
+    # is amplified on near-zero-gradient leaves over 3 steps — compare
+    # with an absolute bound (params are O(1e-2..1); 2e-3 still catches
+    # any real layout bug, which shows up as O(1) garbage)
+    _tree_allclose(state_one.params, state_tp.params, rtol=0,
+                   atol=2e-3, msg="params")
+
+
 def test_dp_inference_streams_match_single_device(setup):
     """Serving story (VERDICT r2 item 8): 8 independent streams, one
     per device on a pure-data mesh, each stream's outputs bit-equal to
