@@ -11,7 +11,7 @@ wall = max(device, host_load * B / workers) is reconstructable for any
 worker count; this box has ONE core, so multi-worker scaling is
 projected, not measured.
 
-Writes results_r04/train_batched.json. This is the POST-auto_train-VJP
+Writes results_r05/train_batched.json. This is the POST-auto_train-VJP
 re-run demanded by VERDICT r3 (the r03 artifact was captured before the
 scatter-free training VJP landed and recorded both B=8 arms failing).
 Run: python benchmarks/profile_train_batched.py [max_log2_batch]
@@ -62,8 +62,8 @@ print(f"host load: {host_ms:.1f} ms/couple (1 thread)")
 
 def dump():  # incremental — remote-TPU compiles are slow enough that a
     # wall-clock bound can cut the sweep; keep every finished row
-    os.makedirs("results_r04", exist_ok=True)
-    with open("results_r04/train_batched.json", "w") as f:
+    os.makedirs("results_r05", exist_ok=True)
+    with open("results_r05/train_batched.json", "w") as f:
         json.dump(results, f, indent=2)
 
 # remat A/B: storing the towers' full-res activations for backward is
@@ -105,4 +105,4 @@ for remat in (True, False):
         del state, losses
 
 dump()
-print("wrote results_r04/train_batched.json")
+print("wrote results_r05/train_batched.json")

@@ -22,7 +22,7 @@ programs, so whichever prefix first trips the remote-compile error
 names the stage whose backward blows up the compile.
 
 Run: python benchmarks/profile_train_bwd_stages.py [max_log2]
-Writes results_r04/train_bwd_stages.json.
+Writes results_r05/train_bwd_stages.json.
 """
 import json
 import os
@@ -67,8 +67,8 @@ results = {"method": __doc__.split("\n\n")[1]}
 
 
 def dump():
-    os.makedirs("results_r04", exist_ok=True)
-    with open("results_r04/train_bwd_stages.json", "w") as f:
+    os.makedirs("results_r05", exist_ok=True)
+    with open("results_r05/train_bwd_stages.json", "w") as f:
         json.dump(results, f, indent=2)
 
 
@@ -151,4 +151,4 @@ for log2 in range(0, MAX_LOG2 + 1):
     results[f"B{b}"] = rows
     dump()
 
-print("wrote results_r04/train_bwd_stages.json")
+print("wrote results_r05/train_bwd_stages.json")

@@ -68,6 +68,102 @@ def _project(pts_cam):
     return uv
 
 
+# ---------------------------------------------------------------------------
+# Beam-scan backend (scan="beam"): raycast 64-beam velodyne model
+# ---------------------------------------------------------------------------
+# The box-surface point model paints a fixed number of points per object
+# regardless of range and never occludes anything — statistics a real
+# 64-beam scan does not have (r4 transfer experiment: zero-shot recall
+# 0.37 on real clips, pretrain HURT vs scratch). This backend samples
+# points the way the sensor does: one ray per (beam elevation, azimuth
+# step), each returning the NEAREST hit among object boxes / clutter /
+# ground — so near objects are dense, far objects sparse, and occluded
+# surfaces are absent, matching the density profile bench.py's
+# velodyne_like_points models statistically.
+
+_BEAMS = 64
+_ELEV_LO, _ELEV_HI = -24.8, 2.0       # HDL-64E vertical FOV (deg)
+_AZ_FOV = 40.0                        # half-angle swept (deg), ~cam FOV
+_AZ_STEP = 0.18                       # deg per firing (~0.08 real; coarser
+                                      # keeps frames near max_points)
+_MAX_RANGE = 79.0
+
+
+def _ray_box_t(origins_zero, dirs, box_3d):
+    """Smallest positive ray parameter t where rays (origin 0, unit
+    `dirs` (R,3) cam frame) enter the 3D box, +inf where they miss.
+    Box y spans [y-h, y] (KITTI: y is the bottom face)."""
+    x, y, z, l, w, h, ry = [float(v) for v in box_3d]
+    c, s = np.cos(ry), np.sin(ry)
+    # cam -> box frame: rotate by -ry about y, after centering
+    ox, oy, oz = -x, -(y - h / 2.0), -z          # ray origin, centered
+    o_b = np.array([c * ox - s * oz, oy, s * ox + c * oz])
+    d_b = np.stack([c * dirs[:, 0] - s * dirs[:, 2],
+                    dirs[:, 1],
+                    s * dirs[:, 0] + c * dirs[:, 2]], axis=1)
+    half = np.array([l / 2.0, h / 2.0, w / 2.0])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (-half - o_b) / d_b
+        t2 = (half - o_b) / d_b
+    tmin = np.nanmax(np.minimum(t1, t2), axis=1)
+    tmax = np.nanmin(np.maximum(t1, t2), axis=1)
+    hit = (tmax >= np.maximum(tmin, 1e-3))
+    return np.where(hit, np.maximum(tmin, 1e-3), np.inf)
+
+
+def _beam_scan(boxes_cam, rng, clutter_objs):
+    """Raycast scan in the camera frame. `boxes_cam`: list of box_3d
+    arrays; `clutter_objs`: list of (box_3d-like) static structures
+    (poles/walls) that occlude and return like objects. Returns (N, 3)
+    cam-frame points."""
+    elev = np.radians(np.linspace(_ELEV_LO, _ELEV_HI, _BEAMS))
+    az = np.radians(np.arange(-_AZ_FOV, _AZ_FOV, _AZ_STEP))
+    # per-beam azimuth jitter (real scans: beams are not phase-aligned)
+    az = az[None, :] + rng.uniform(0, np.radians(_AZ_STEP), (_BEAMS, 1))
+    el = np.broadcast_to(elev[:, None], az.shape)
+    dirs = np.stack([np.cos(el) * np.sin(az),     # x right
+                     np.sin(-el),                 # y down (+y = ground)
+                     np.cos(el) * np.cos(az)],    # z forward
+                    axis=-1).reshape(-1, 3)
+    R = len(dirs)
+    t_best = np.full(R, np.inf)
+    # ground plane y = GROUND_Y (sensor at origin)
+    dy = dirs[:, 1]
+    with np.errstate(divide="ignore"):
+        t_g = np.where(dy > 1e-4, GROUND_Y / dy, np.inf)
+    t_best = np.minimum(t_best, t_g)
+    for box in list(boxes_cam) + list(clutter_objs):
+        t_best = np.minimum(t_best, _ray_box_t(None, dirs, box))
+    keep = t_best < _MAX_RANGE
+    # reflectivity dropout: ~8% of returns are lost
+    keep &= rng.rand(R) > 0.08
+    t = t_best[keep] * (1.0 + rng.normal(0, 0.004, keep.sum()))
+    return dirs[keep] * t[:, None]
+
+
+def _make_clutter(rng, n_structs=14):
+    """Static vertical structures (poles, walls, bushes) as boxes in
+    the frame-0 camera frame; they ride ego motion like labels do."""
+    objs = []
+    for _ in range(n_structs):
+        cx = rng.uniform(-35, 35)
+        cz = rng.uniform(8, 75)
+        if abs(cx) < 5.0:          # keep the road corridor clear
+            cx = np.sign(cx or 1.0) * rng.uniform(6, 35)
+        kind = rng.randint(3)
+        if kind == 0:      # pole
+            l, w, h = 0.3, 0.3, rng.uniform(3, 6)
+        elif kind == 1:    # wall / facade segment
+            l, w, h = rng.uniform(4, 12), 0.4, rng.uniform(2.5, 5)
+        else:              # bush / parked clutter
+            l, w, h = rng.uniform(1, 3), rng.uniform(1, 2), \
+                rng.uniform(0.8, 1.6)
+        ry = rng.uniform(-np.pi, np.pi)
+        objs.append(np.array([cx, GROUND_Y, cz, l, w, h, ry],
+                             np.float32))
+    return objs
+
+
 # per-class dims (l, w, h ranges), speed scale and point-count scale
 # for the synthetic objects
 _CLASS_SPECS = {
@@ -90,7 +186,9 @@ class SyntheticScene:
                  ground_points: int = 3000,
                  object_classes=("Car",),
                  keep_in_view: bool = True,
-                 z_range=(7.0, 60.0), fov_frac: float = 0.75):
+                 z_range=(7.0, 60.0), fov_frac: float = 0.75,
+                 scan: str = "surface",
+                 render_images: bool = False):
         """With `keep_in_view` (default), object trajectories are
         resampled until every frame's camera-coordinate position stays
         inside z_range and |x| <= fov_frac * z — i.e. every GT is
@@ -98,9 +196,19 @@ class SyntheticScene:
         the BEV area) and the official 11-point AP ceiling is 100
         rather than the 9/11 = 81.82 an out-of-view GT imposes.
         `keep_in_view=False` restores unconstrained placement (used by
-        the border/offset tests that NEED objects leaving the area)."""
+        the border/offset tests that NEED objects leaving the area).
+
+        `scan`: "surface" (default — fixed points painted on box faces
+        + uniform ground; byte-stable for the golden tests) or "beam"
+        (raycast 64-beam velodyne model: range-dependent density,
+        occlusion, static clutter — the realistic backend the transfer
+        flow pretrains on). `render_images` shades the projected boxes,
+        ground and clutter into the camera image instead of the flat
+        gray card, so the image tower trains on non-degenerate input."""
         self.points_per_car = points_per_car
         self.ground_points = ground_points
+        self.scan = scan
+        self.render_images = render_images
         rng = np.random.RandomState(seed * 100 + video_id)
         self.video_id = video_id
         self.num_frames = num_frames
@@ -152,6 +260,10 @@ class SyntheticScene:
                                   ry=ry, dims=dims, cls=cls,
                                   n_pts=max(32, int(points_per_car
                                                     * spec["pts"]))))
+        # static world clutter for the beam backend (and the rendered
+        # images); lives in the frame-0 camera frame like `boxes_at`
+        self.clutter = _make_clutter(rng) if (scan == "beam"
+                                              or render_images) else []
         self.rng = rng
 
     def boxes_at(self, frame: int) -> list:
@@ -180,10 +292,28 @@ class SyntheticScene:
                 out.append((cid, b))
         return out
 
+    def clutter_at(self, frame: int) -> list:
+        """Static clutter boxes in the frame's camera coordinates."""
+        dz = self.ego_offset(frame)
+        out = []
+        for box in self.clutter:
+            b = box.copy()
+            b[2] -= dz
+            if b[2] > 2.0:
+                out.append(b)
+        return out
+
     def point_cloud_at(self, frame: int, n_ground: int | None = None):
         """(N, 4) velo-frame points for the frame."""
-        n_ground = n_ground or self.ground_points
         rng = np.random.RandomState(1000 + self.video_id * 100 + frame)
+        if self.scan == "beam":
+            boxes = [b for _, b in self.camera_boxes_at(frame)]
+            pts_cam = _beam_scan(boxes, rng, self.clutter_at(frame))
+            pts_velo = _cam_to_velo(pts_cam.astype(np.float32))
+            intensity = rng.uniform(
+                0, 1, (len(pts_velo), 1)).astype(np.float32)
+            return np.hstack([pts_velo, intensity]).astype(np.float32)
+        n_ground = n_ground or self.ground_points
         pts = []
         gx = rng.uniform(-30, 30, n_ground)
         gz = rng.uniform(5, 69, n_ground)
@@ -196,6 +326,51 @@ class SyntheticScene:
         pts_velo = _cam_to_velo(pts_cam)
         intensity = rng.uniform(0, 1, (len(pts_velo), 1)).astype(np.float32)
         return np.hstack([pts_velo, intensity]).astype(np.float32)
+
+    def image_at(self, frame: int) -> np.ndarray:
+        """(H, W, 3) uint8 camera image. Flat gray card by default
+        (byte-stable goldens); with `render_images`, a painter's-
+        algorithm shading of sky gradient, noisy ground, clutter and
+        the cars' projected box hulls — non-degenerate input for the
+        image tower so its features can transfer to real photos."""
+        if not self.render_images:
+            return np.full((_IMG_H, _IMG_W, 3), 96, np.uint8)
+        import cv2
+
+        rng = np.random.RandomState(7000 + self.video_id * 100 + frame)
+        img = np.zeros((_IMG_H, _IMG_W, 3), np.float32)
+        # sky gradient down to the horizon row (projection of z -> inf
+        # on the ground: v = _CY), then ground shading below
+        horizon = int(_CY)
+        v = np.arange(_IMG_H, dtype=np.float32)[:, None, None]
+        sky = 150.0 + 60.0 * (1.0 - v / max(horizon, 1))
+        ground = 80.0 + 25.0 * (v - horizon) / max(_IMG_H - horizon, 1)
+        img += np.where(v < horizon, sky, ground)
+        from dodt_tpu.utils.np_iou import box_3d_corners
+
+        # painter's algorithm over clutter + cars, far to near
+        drawables = []
+        for box in self.clutter_at(frame):
+            drawables.append((float(box[2]), box,
+                              rng.uniform(60, 140, 3)))
+        for _cid, box in self.camera_boxes_at(frame):
+            drawables.append((float(box[2]), box,
+                              rng.uniform(30, 220, 3)))
+        for depth, box, shade in sorted(drawables, key=lambda d: -d[0]):
+            corners = box_3d_corners(box)
+            if (corners[:, 2] <= 0.5).any():
+                continue
+            uv = _project(corners).astype(np.int32)
+            hull = cv2.convexHull(uv.reshape(-1, 1, 2))
+            # range-attenuated shade + darker lower half (shadow side)
+            att = np.clip(1.0 - depth / 120.0, 0.3, 1.0)
+            cv2.fillConvexPoly(img, hull, (shade * att).tolist())
+            lo = uv[:, 1].max()
+            cv2.line(img, tuple(uv[uv[:, 1].argmax()]),
+                     (int(uv[:, 0].mean()), int(lo)),
+                     (shade * att * 0.6).tolist(), 2)
+        img += rng.normal(0, 6.0, img.shape)
+        return np.clip(img, 0, 255).astype(np.uint8)
 
     def label_lines(self) -> list:
         lines = []
@@ -241,6 +416,8 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
                            object_classes=("Car",),
                            keep_in_view: bool = True,
                            z_range=(7.0, 60.0),
+                           scan: str = "surface",
+                           render_images: bool = False,
                            video_specs=None) -> str:
     """Write a synthetic KITTI tracking dataset under `root`.
 
@@ -264,7 +441,8 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
                      points_per_car=points_per_car,
                      ground_points=ground_points,
                      object_classes=object_classes,
-                     keep_in_view=keep_in_view, z_range=z_range)
+                     keep_in_view=keep_in_view, z_range=z_range,
+                     scan=scan, render_images=render_images)
         if video_specs:
             knobs.update(video_specs[vid % len(video_specs)])
         scene = SyntheticScene(vid, num_frames, seed=seed, **knobs)
@@ -283,8 +461,8 @@ def write_tracking_fixture(root: str, num_videos: int = 2,
         for frame in range(num_frames):
             scene.point_cloud_at(frame).tofile(
                 os.path.join(vdir, f"{frame:06d}.bin"))
-            img = np.full((_IMG_H, _IMG_W, 3), 96, np.uint8)
-            cv2.imwrite(os.path.join(idir, f"{frame:06d}.png"), img)
+            cv2.imwrite(os.path.join(idir, f"{frame:06d}.png"),
+                        scene.image_at(frame))
             with open(os.path.join(pdir, f"{frame:06d}.txt"), "w") as f:
                 f.write("# Plane\nWidth 4\nHeight 1\n"
                         f"0.0 -1.0 0.0 {GROUND_Y}\n")
@@ -310,7 +488,9 @@ def write_detection_fixture(root: str, num_frames: int = 6,
                             seed: int = 0, num_scenes: int = 1,
                             num_cars: int = 4,
                             points_per_car: int = 384,
-                            ground_points: int = 3000) -> str:
+                            ground_points: int = 3000,
+                            scan: str = "surface",
+                            render_images: bool = False) -> str:
     """Write a synthetic single-frame KITTI *object* dataset under
     `root` (velodyne/image_2/calib/label_2/planes + split txts).
 
@@ -333,7 +513,8 @@ def write_detection_fixture(root: str, num_frames: int = 6,
         scene = SyntheticScene(sid, num_frames, seed=seed + sid,
                                ego_speed=0.0, num_cars=num_cars,
                                points_per_car=points_per_car,
-                               ground_points=ground_points)
+                               ground_points=ground_points,
+                               scan=scan, render_images=render_images)
         _write_detection_scene(base, scene, num_frames,
                                sid * num_frames, names)
 
@@ -352,8 +533,8 @@ def _write_detection_scene(base, scene, num_frames, name_offset,
         names.append(name)
         scene.point_cloud_at(frame).tofile(
             os.path.join(base, "velodyne", name + ".bin"))
-        img = np.full((_IMG_H, _IMG_W, 3), 96, np.uint8)
-        cv2.imwrite(os.path.join(base, "image_2", name + ".png"), img)
+        cv2.imwrite(os.path.join(base, "image_2", name + ".png"),
+                    scene.image_at(frame))
         with open(os.path.join(base, "calib", name + ".txt"), "w") as f:
             f.write(_calib_text())
         with open(os.path.join(base, "planes", name + ".txt"), "w") as f:
