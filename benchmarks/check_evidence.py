@@ -143,7 +143,7 @@ def render_holdout():
 
 
 def render_mot_hard():
-    d = _load("results_r04/mot_hard.json")
+    d = _load("results_r05/mot_hard.json")
     rows = ["| arm | MOTA | MOTP | MT | ML | IDS | FM | FN |",
             "|---|---|---|---|---|---|---|---|"]
     names = {
@@ -160,6 +160,39 @@ def render_mot_hard():
     return "\n".join(rows)
 
 
+def render_mot_ego():
+    d = _load("results_r05/mot_hard.json")
+    rows = ["| arm (moving platform) | MOTA | MT | IDS | FM | FN |",
+            "|---|---|---|---|---|---|"]
+    names = {
+        "ego_iou_offsets_aligned": "IoU tracker, ego-aligned + offsets",
+        "ego_kalman_compensated": "Kalman, ego-compensated association",
+        "ego_kalman_uncompensated": "Kalman, raw boxes (r4 behavior)",
+    }
+    for k, label in names.items():
+        r = d[k]
+        rows.append(f"| {label} | {_f(r['MOTA'])} | {_f(r['MT'])} | "
+                    f"{int(r['IDS'])} | {int(r['FM'])} | "
+                    f"{int(r['FN'])} |")
+    return "\n".join(rows)
+
+
+def render_coexist():
+    d = _load("results_r05/coexist_ab.json")
+    rows = ["| τ | coexist arm | MOTA | IDS | FP | FN |",
+            "|---|---|---|---|---|---|"]
+    names = {"learned": "learned head (live path)",
+             "constant": "constant 1.0 (pre-r5 behavior)",
+             "none": "no MoI gap fill"}
+    for tau in ("tau4", "tau6"):
+        for arm, label in names.items():
+            r = d[tau][arm]
+            rows.append(f"| {tau[3:]} | {label} | {_f(r['MOTA'])} | "
+                        f"{int(r['IDS'])} | {int(r['FP'])} | "
+                        f"{int(r['FN'])} |")
+    return "\n".join(rows)
+
+
 RENDERERS = {
     "fixture": render_fixture,
     "tau3": render_tau3,
@@ -169,6 +202,8 @@ RENDERERS = {
     "real_fixture": render_real_fixture,
     "holdout": render_holdout,
     "mot_hard": render_mot_hard,
+    "mot_ego": render_mot_ego,
+    "coexist": render_coexist,
 }
 
 _BLOCK = re.compile(
