@@ -212,6 +212,12 @@ class ModelConfig:
     # results_r03/train_batched.json), so the default stays off for
     # the production B=1 config and batched runs opt in.
     remat_towers: bool = False
+    # crop-and-resize VJP form on train paths: "batch_auto" keeps the
+    # measured batch-aware dispatch (plain gather/scatter VJP at B=1,
+    # the matmul-form scatter-free VJP at B>1 —
+    # results_r03/train_fwd_bwd.json); "gather" / "mmbwd" force one
+    # form at any batch (profilers A/B the forms at fixed B with this)
+    train_crop_vjp: str = "batch_auto"
     # "fast" = parallel one-pass NMS (TPU-friendly, subset of greedy's
     # picks); "greedy" = exact sequential tf.image.non_max_suppression
     # "exact" = parallel fixpoint NMS with exact greedy semantics (the

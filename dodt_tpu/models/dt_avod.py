@@ -417,8 +417,14 @@ class DtAvodNet(nn.Module):
         # (bwd/couple 64.6 vs 80.8 ms; at B=4 it's 123.6 vs 63.1 —
         # train_fwd_bwd.json pre/post), so the plain gather VJP is kept
         # for single-couple steps.
-        crop_method = ("auto_train" if mode == "train" and b > 1
-                       else "auto")
+        if mode != "train":
+            crop_method = "auto"
+        elif m.train_crop_vjp == "gather":
+            crop_method = "auto"
+        elif m.train_crop_vjp == "mmbwd":
+            crop_method = "auto_train"
+        else:  # batch_auto
+            crop_method = "auto_train" if b > 1 else "auto"
         img_shapes = batch["orig_image_shape"].astype(jnp.float32)
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size,

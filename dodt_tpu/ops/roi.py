@@ -122,8 +122,10 @@ def auto_method(num_boxes: int, crop_size: int, image_shape,
 
 # rowred-byte threshold above which the matmul-form VJP scans proposal
 # chunks instead of materializing (N, S, W, C) at once (tests shrink it
-# to force the chunked path at small shapes)
+# to force the chunked path at small shapes), and the proposals-per-
+# chunk granularity (module globals so the profilers can sweep them)
 _BWD_CHUNK_BYTES = 64 * 1024 * 1024
+_BWD_CHUNK = 128
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -161,7 +163,7 @@ def _crop_gather_mmbwd_bwd(crop_size, res, g):
     # the un-chunked rowred would be large, scan proposal chunks
     # instead: dImage accumulates across chunks (f32), box grads
     # concatenate; FLOPs unchanged, live memory drops N/chunk-fold.
-    chunk = 128
+    chunk = _BWD_CHUNK
     rowred_bytes = (n * crop_size * w * c
                     * jnp.dtype(image.dtype).itemsize)
     if n <= chunk or n % chunk or rowred_bytes <= _BWD_CHUNK_BYTES:
