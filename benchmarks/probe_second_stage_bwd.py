@@ -12,6 +12,9 @@ train_batched.json records) per arm:
   * mm_c128 / mm_c256 / mm_c512 — matmul VJP, chunk granularity sweep
   * mm_nochunk — matmul VJP, rowred materialized whole
   * gather — plain gather forward/scatter backward
+  * any arm + "_remat" — same, with remat_towers=True (if the
+    superlinear term is HBM-pressure spills at peak liveness — tower
+    activations alive across the second stage — remat buys headroom)
 
 Run: python benchmarks/probe_second_stage_bwd.py [B] [arm ...]
 Writes results_r05/second_stage_bwd.json (merging; keyed arm_B{B}).
@@ -65,6 +68,8 @@ for arm in ARMS:
     cfg.dataset.dataset_dir = root
     cfg.dataset.max_points = 32768
     cfg.dataset.video_train_ids = (0,)
+    arm, remat_tag, _ = arm.partition("_remat")
+    cfg.model.remat_towers = bool(remat_tag)
     if arm == "gather":
         cfg.model.train_crop_vjp = "gather"
         roi._BWD_CHUNK = 128

@@ -42,6 +42,7 @@ from dodt_tpu.models import dt_avod  # noqa: E402
 from dodt_tpu.utils.metrics import device_sync  # noqa: E402
 
 MAX_LOG2 = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+MIN_LOG2 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 root = tempfile.mkdtemp(prefix="bwdstage_")
 synthetic.write_tracking_fixture(root, num_videos=1, num_frames=10,
@@ -64,6 +65,10 @@ STAGES = [
 ]
 
 results = {"method": __doc__.split("\n\n")[1]}
+# resumable: remote-TPU compiles can outlive a wall-clock bound, so a
+# re-run with MIN_LOG2 merges into the existing artifact
+if os.path.exists("results_r05/train_bwd_stages.json"):
+    results.update(json.load(open("results_r05/train_bwd_stages.json")))
 
 
 def dump():
@@ -82,7 +87,7 @@ def timeit(fn, *args, n=8):
     return (time.perf_counter() - t0) / n * 1000
 
 
-for log2 in range(0, MAX_LOG2 + 1):
+for log2 in range(MIN_LOG2, MAX_LOG2 + 1):
     b = 1 << log2
     batch = {k: jnp.asarray(v)
              for k, v in ds.next_batch(b, shuffle=False,

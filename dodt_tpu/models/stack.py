@@ -193,9 +193,16 @@ class StackAvodNet(nn.Module):
         _, img_norm = jax.vmap(project_to_image_space)(
             anchors, batch["p2"], img_shapes)
         # scatter-free VJP on gather crops in training, batch-aware
-        # (see the crop_method comment in dt_avod.DtAvodNet)
-        crop_method = ("auto_train" if mode == "train" and b > 1
-                       else "auto")
+        # (see the crop_method comment in dt_avod.DtAvodNet);
+        # config.train_crop_vjp forces one form for A/B profiling
+        if mode != "train":
+            crop_method = "auto"
+        elif m.train_crop_vjp == "gather":
+            crop_method = "auto"
+        elif m.train_crop_vjp == "mmbwd":
+            crop_method = "auto_train"
+        else:  # batch_auto
+            crop_method = "auto_train" if b > 1 else "auto"
         crop = functools.partial(crop_and_resize,
                                  crop_size=m.rpn.proposal_roi_crop_size,
                                  method=crop_method)
