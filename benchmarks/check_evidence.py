@@ -22,7 +22,7 @@ import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DOCS = ["README.md"]
+DOCS = ["README.md", "results_r05/roofline_bwd.md"]
 
 
 def _load(rel):
@@ -193,6 +193,65 @@ def render_coexist():
     return "\n".join(rows)
 
 
+def render_bwd_stages():
+    d = _load("results_r05/train_bwd_stages.json")
+    stages = [("towers", "towers (bev+img VGG, fwd+bwd)"),
+              ("rpn_heads", "RPN heads (dense ROIs, two-pass fuse, "
+                            "mini-batch)"),
+              ("second_stage", "second stage (crops + FC trunks + corr)"),
+              ("full_loss", "full loss (sampling + targets + losses)")]
+    bs = [k for k in ("B1", "B2", "B4", "B8") if k in d]
+    rows = ["| stage | " + " | ".join(f"B={k[1:]}" for k in bs) + " |",
+            "|---|" + "---|" * len(bs)]
+    for key, label in stages:
+        vals = []
+        for b in bs:
+            v = next(r["marginal_per_couple_ms"] for r in d[b]
+                     if r["stage"] == key)
+            vals.append("≈0" if key == "full_loss" and abs(v) < 2
+                        else _f(v))
+        rows.append(f"| {label} | " + " | ".join(vals) + " |")
+    return "\n".join(rows)
+
+
+def render_second_stage_arms():
+    d = _load("results_r05/second_stage_bwd.json")
+    names = {
+        "mm_c512_B4": "matmul-form VJP, chunk 512 (shipped default)",
+        "mm_nochunk_B4": "matmul-form VJP, unchunked",
+        "mm_c128_remat_B4": "matmul-form VJP, chunk 128 + remat",
+        "gather_B4": "plain gather VJP (serializing scatter-add)",
+    }
+    rows = ["| arm (full train step, B=4) | device ms/step | couples/s |",
+            "|---|---|---|"]
+    for k, label in names.items():
+        if k not in d:
+            continue
+        r = d[k]
+        rows.append(f"| {label} | {_f(r['device_ms_per_step'])} | "
+                    f"{_f(r['couples_per_s'], 2)} |")
+    return "\n".join(rows)
+
+
+def render_train_batched():
+    d = _load("results_r05/train_batched.json")["batches"]
+    rows = ["| B | remat ms/step | remat couples/s | store ms/step | "
+            "store couples/s |", "|---|---|---|---|---|"]
+    for b in (1, 2, 4, 8):
+        cells = []
+        for tag in ("remat", "store"):
+            r = d.get(f"{tag}_B{b}")
+            if r is None:
+                cells += ["—", "—"]
+            elif "error" in r:
+                cells += [r["error"], "—"]
+            else:
+                cells += [_f(r["device_ms_per_step"]),
+                          _f(r["couples_per_s"], 2)]
+        rows.append(f"| {b} | " + " | ".join(cells) + " |")
+    return "\n".join(rows)
+
+
 RENDERERS = {
     "fixture": render_fixture,
     "tau3": render_tau3,
@@ -204,6 +263,9 @@ RENDERERS = {
     "mot_hard": render_mot_hard,
     "mot_ego": render_mot_ego,
     "coexist": render_coexist,
+    "bwd_stages": render_bwd_stages,
+    "second_stage_arms": render_second_stage_arms,
+    "train_batched": render_train_batched,
 }
 
 _BLOCK = re.compile(
