@@ -123,9 +123,13 @@ def auto_method(num_boxes: int, crop_size: int, image_shape,
 # rowred-byte threshold above which the matmul-form VJP scans proposal
 # chunks instead of materializing (N, S, W, C) at once (tests shrink it
 # to force the chunked path at small shapes), and the proposals-per-
-# chunk granularity (module globals so the profilers can sweep them)
+# chunk granularity (module globals so the profilers can sweep them).
+# 512 is the measured optimum at train shapes: 484.9 ms/step vs 515.3
+# at 128+remat and 491.2 unchunked, B=4 (results_r05/second_stage_bwd
+# .json) — big enough to amortize the scan, small enough to keep
+# rowred in the ~34 MB range per chunk.
 _BWD_CHUNK_BYTES = 64 * 1024 * 1024
-_BWD_CHUNK = 128
+_BWD_CHUNK = 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -281,6 +281,7 @@ def test_crop_gather_mmbwd_vjp_chunked_matches_unchunked(monkeypatch):
 
     di_un, db_un = grads()
     monkeypatch.setattr(roi, "_BWD_CHUNK_BYTES", 0)
+    monkeypatch.setattr(roi, "_BWD_CHUNK", 128)  # n=256 must chunk
     di_ch, db_ch = grads()
     np.testing.assert_allclose(np.array(di_ch), np.array(di_un),
                                rtol=1e-5, atol=1e-5)
