@@ -193,6 +193,25 @@ def render_coexist():
     return "\n".join(rows)
 
 
+def render_transfer():
+    d = _load("results_r05/real_transfer_ap.json")
+    zs = d["zero_shot_holdout"]
+    rows = ["| phase | step | holdout AP_BEV | AP_3D@0.5 | "
+            "recall@0.5 | MOTA |", "|---|---|---|---|---|---|"]
+    rows.append(f"| zero-shot (synthetic only) | {zs['step']} | "
+                f"{_f(zs['AP_BEV_moderate'])} | "
+                f"{_f(zs['AP_3D_05_moderate'])} | "
+                f"{_f(zs['proposal_recall_05'], 2)} | {_f(zs['MOTA'])} |")
+    for r in d.get("holdout_trajectory", []):
+        rec = (_f(r["proposal_recall_05"], 2)
+               if "proposal_recall_05" in r else "—")
+        mota = _f(r["MOTA"]) if r.get("MOTA") is not None else "—"
+        rows.append(f"| finetune | {r['step']} | "
+                    f"{_f(r['AP_BEV_moderate'])} | "
+                    f"{_f(r['AP_3D_05_moderate'])} | {rec} | {mota} |")
+    return "\n".join(rows)
+
+
 def render_bwd_stages():
     d = _load("results_r05/train_bwd_stages.json")
     stages = [("towers", "towers (bev+img VGG, fwd+bwd)"),
@@ -263,6 +282,7 @@ RENDERERS = {
     "mot_hard": render_mot_hard,
     "mot_ego": render_mot_ego,
     "coexist": render_coexist,
+    "transfer": render_transfer,
     "bwd_stages": render_bwd_stages,
     "second_stage_arms": render_second_stage_arms,
     "train_batched": render_train_batched,
