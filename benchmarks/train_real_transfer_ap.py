@@ -78,6 +78,13 @@ def dump():
 # (skips fixture generation + the ~13 min pretrain) and merges into an
 # existing results JSON if one is present.
 PRE_CK = os.environ.get("TRANSFER_PRE_CK")
+# Second-arm knobs (r5: the LR-1e-3 arm measured catastrophic
+# forgetting — train AP_BEV 90.6, holdout 0.0 by step 9000; this lets
+# a gentler arm run from the SAME pretrain checkpoint and land under
+# suffixed result keys instead of clobbering the first arm's):
+FT_LR = float(os.environ.get("TRANSFER_FT_LR", "1e-3"))
+TAG = os.environ.get("TRANSFER_TAG", "")
+SUF = f"_{TAG}" if TAG else ""
 cfg_pre = cfg_mod.cars_dt_tracking()
 cfg_pre.dataset.max_points = 32768
 cfg_pre.train.checkpoint_interval = PRE_STEPS
@@ -164,7 +171,7 @@ print(f"real train couples: {len(ds_real.couples)}")
 cfg_f1 = cfg_mod.cars_dt_tracking()
 cfg_f1.dataset = cfg_real.dataset
 cfg_f1.train.checkpoint_interval = EVAL_EVERY
-cfg_f1.train.optimizer.initial_lr = 1e-3
+cfg_f1.train.optimizer.initial_lr = FT_LR
 cfg_f1.train.pretrained_checkpoint = pre_ck
 cfg_f1.train.pretrained_subtrees = None      # all shared subtrees
 cfg_f1.train.frozen_subtrees = TOWERS
@@ -178,7 +185,7 @@ print("frozen phase:", [(h["step"], round(h["total"], 3)) for h in h1])
 cfg_f2 = cfg_mod.cars_dt_tracking()
 cfg_f2.dataset = cfg_real.dataset
 cfg_f2.train.checkpoint_interval = EVAL_EVERY
-cfg_f2.train.optimizer.initial_lr = 1e-3
+cfg_f2.train.optimizer.initial_lr = FT_LR
 cfg_f2.train.pretrained_checkpoint = ft_ck
 cfg_f2.train.pretrained_full_state = True
 joint_ck = tempfile.mkdtemp(prefix="transfer_joint_ck_")
@@ -186,7 +193,7 @@ model_j = dt_avod.DtAvodNet(cfg=cfg_f2, cluster_sizes=CLUSTERS)
 t2 = Trainer(cfg_f2, model_j, ds_real, joint_ck, batch_size=1)
 _, h2 = t2.train(max_steps=FT_STEPS, log_every=EVAL_EVERY)
 print("joint phase:", [(h["step"], round(h["total"], 3)) for h in h2])
-results["finetune_loss"] = h1 + h2
+results["finetune_loss" + SUF] = h1 + h2
 dump()
 
 # ---- 4: holdout + train trajectories over finetune checkpoints -------
@@ -213,8 +220,8 @@ for ck_dir, mdl in ((ft_ck, model_ft), (joint_ck, model_j)):
              "MOTA": rt["mot"].get("overall", {}).get("MOTA")})
         print("holdout", hold_traj[-1])
         print("train  ", train_traj[-1])
-        results["holdout_trajectory"] = hold_traj
-        results["train_trajectory"] = train_traj
+        results["holdout_trajectory" + SUF] = hold_traj
+        results["train_trajectory" + SUF] = train_traj
         dump()
 
 print(f"wrote {OUT}")
